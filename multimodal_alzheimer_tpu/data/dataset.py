@@ -1,0 +1,218 @@
+"""MultiModalDataset: manifest CSV -> paired multimodal samples.
+
+API mirror of the reference MultiModalDataset (reference:
+pkg/utils/dataloader.py:21-344) with one deliberate TPU-first change:
+``__getitem__`` returns RAW volumes (+ brain mask) and normalization happens
+on-device inside the jit-compiled preprocessing step
+(``get_device_preprocess()``), so the host path is just file decode. The
+reference instead normalizes per-sample inside 32 DataLoader worker
+processes. ``__getitem__(..., host_normalize=True)`` (or the
+``host_normalized_item`` method) reproduces the reference's host-side
+output exactly for parity tests.
+
+Supported constructor arguments match dataloader.py:63-74, including the
+``binary_classification`` 2/3 -> bool coercion (:83-86) and the MCI drop
+(:90-92).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from multimodal_alzheimer_tpu.data.nifti import load_nifti
+from multimodal_alzheimer_tpu.data.pairing import expand_pairings
+from multimodal_alzheimer_tpu.data.tabular import tabular_vector
+
+LABELS_3 = {"CN": 0, "MCI": 1, "Dementia": 2}
+LABELS_2 = {"CN": 0, "Dementia": 1}
+
+_MODALITY_SUBSET = {
+    "pet1451": "path_pet1451",
+    "t1w": "path_anat",
+    "tabular": "AGE",
+}
+
+
+class MultiModalDataset:
+    def __init__(self,
+                 path: str,
+                 binary_classification: bool | int = False,
+                 modalities: List[str] = ("pet1451", "t1w", "tabular"),
+                 days_threshold: int = 180,
+                 transform_pet=None,
+                 transform_mri=None,
+                 transform_tabular=None,
+                 normalize_pet: Optional[Dict[str, float]] = None,
+                 normalize_mri: Optional[Dict[str, Any]] = None,
+                 quantile: float = 0.99,
+                 compat_whole_brain_bug: bool = True):
+        self.entire_ds = pd.read_csv(path)
+
+        if binary_classification == 2:
+            binary_classification = True
+        elif binary_classification == 3:
+            binary_classification = False
+        self.binary_classification = bool(binary_classification)
+        if self.binary_classification:
+            self.entire_ds = self.entire_ds[self.entire_ds["label"] != "MCI"]
+            self.label_mapping = dict(LABELS_2)
+        else:
+            self.label_mapping = dict(LABELS_3)
+
+        self.days_threshold = days_threshold
+        self.modalities = list(modalities)
+        assert len(self.modalities) in range(1, 4)
+        assert all(m in _MODALITY_SUBSET for m in self.modalities)
+        assert len(set(self.modalities)) == len(self.modalities)
+
+        # Per-modality frames in canonical order (dataloader.py:108-121:
+        # the if-chain order is pet1451, t1w, tabular regardless of the
+        # order the caller lists them in).
+        frames = []
+        for modality in ("pet1451", "t1w", "tabular"):
+            if modality in self.modalities:
+                frame = self.entire_ds.dropna(
+                    subset=_MODALITY_SUBSET[modality]).reset_index(drop=True)
+                frames.append(frame)
+
+        if len(frames) == 1:
+            self.ds = frames[0]
+        else:
+            for frame in frames:
+                frame["ses"] = frame["ses"].map(
+                    lambda x: datetime.strptime(x, "%Y-%m-%d"))
+            self.ds = expand_pairings(frames, days_threshold)
+
+        self.ds = self.ds.replace({np.nan: None})
+
+        self.transform_pet = transform_pet
+        self.transform_mri = transform_mri
+        self.transform_tabular = transform_tabular
+
+        self.normalize_pet = normalize_pet
+        if self.normalize_pet:
+            assert "mean" in self.normalize_pet
+            assert isinstance(self.normalize_pet["mean"], float)
+            assert "std" in self.normalize_pet
+            assert isinstance(self.normalize_pet["std"], float)
+        self.normalize_mri = normalize_mri
+        self.quantile = quantile
+        self.compat_whole_brain_bug = compat_whole_brain_bug
+
+    # ------------------------------------------------------------------ #
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        """Raw (un-normalized) sample dict; None-valued keys removed.
+
+        Keys: 'pet1451', 'mri', 'mri_mask', 'tabular', 'label'. Volumes are
+        float32 numpy arrays. Normalization is applied on-device by
+        ``get_device_preprocess()``.
+        """
+        sample = self.ds.iloc[index]
+        data: Dict[str, Any] = {}
+
+        pet_path = sample.get("path_pet1451")
+        if pet_path is not None:
+            pet = load_nifti(pet_path)
+            if self.transform_pet:
+                pet = self.transform_pet(pet)
+            data["pet1451"] = np.asarray(pet, dtype=np.float32)
+
+        mri_path = sample.get("path_anat")
+        if mri_path is not None:
+            mri = load_nifti(mri_path)
+            if self.transform_mri:
+                mri = self.transform_mri(mri)
+            data["mri"] = np.asarray(mri, dtype=np.float32)
+            mask_path = sample.get("path_anat_mask")
+            if (self.normalize_mri and "per_scan_norm" in self.normalize_mri
+                    and mask_path is not None):
+                data["mri_mask"] = np.asarray(load_nifti(mask_path),
+                                              dtype=np.float32)
+
+        if sample.get("AGE") is not None:
+            data["tabular"] = tabular_vector(
+                sample, self.compat_whole_brain_bug)
+
+        data["label"] = np.int32(self.label_mapping[sample["label"]])
+        return data
+
+    def host_normalized_item(self, index: int) -> Dict[str, Any]:
+        """Reference-parity item: normalization applied on host (numpy).
+
+        Reproduces dataloader.py:183-321 outputs for golden tests.
+        """
+        import jax.numpy as jnp
+
+        from multimodal_alzheimer_tpu.ops import normalize_mri, normalize_pet
+
+        data = self[index]
+        if "pet1451" in data and self.normalize_pet:
+            data["pet1451"] = np.asarray(normalize_pet(
+                jnp.asarray(data["pet1451"]),
+                self.normalize_pet["mean"], self.normalize_pet["std"]))
+        if "mri" in data and self.normalize_mri:
+            mask = data.pop("mri_mask", None)
+            data["mri"] = np.asarray(normalize_mri(
+                jnp.asarray(data["mri"]),
+                None if mask is None else jnp.asarray(mask),
+                self.normalize_mri, self.quantile))
+        return data
+
+    def get_device_preprocess(self):
+        """Jittable batch-normalization fn: raw batch dict -> model inputs.
+
+        Returns a function mapping {'pet1451': (B,...), 'mri': (B,...),
+        'mri_mask': (B,...), 'tabular': (B,9), 'label': (B,)} to the same
+        dict with normalized volumes ('mri_mask' consumed). Composes with
+        the train step under one jit so normalization fuses with the
+        forward pass.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_alzheimer_tpu.ops import normalize_mri, normalize_pet
+
+        normalize_pet_cfg = self.normalize_pet
+        normalize_mri_cfg = self.normalize_mri
+        quantile = self.quantile
+
+        def preprocess(batch):
+            out = dict(batch)
+            if "pet1451" in out and normalize_pet_cfg:
+                out["pet1451"] = normalize_pet(
+                    out["pet1451"], normalize_pet_cfg["mean"],
+                    normalize_pet_cfg["std"])
+            if "mri" in out and normalize_mri_cfg:
+                mask = out.pop("mri_mask", None)
+                out["mri"] = jax.vmap(
+                    lambda v, m: normalize_mri(v, m, normalize_mri_cfg,
+                                               quantile)
+                )(out["mri"], mask if mask is not None
+                  else jnp.ones_like(out["mri"]))
+            out.pop("mri_mask", None)
+            return out
+
+        return preprocess
+
+    def get_label_distribution(self):
+        """(counts, normalized counts) ordered CN[/MCI]/Dementia.
+
+        Parity with dataloader.py:323-344; the reference returns torch
+        tensors, we return numpy arrays (NaN for absent classes, as
+        ``reindex`` produces).
+        """
+        order = (["CN", "Dementia"] if self.binary_classification
+                 else ["CN", "MCI", "Dementia"])
+        counts_normalized = (self.ds["label"].value_counts(normalize=True)
+                             .reindex(index=order))
+        counts = self.ds["label"].value_counts().reindex(index=order)
+        return (counts.to_numpy(dtype=np.float64),
+                counts_normalized.to_numpy(dtype=np.float64))

@@ -1,0 +1,129 @@
+"""Dataset + NIfTI IO tests on synthetic ADNI-like fixtures."""
+
+import numpy as np
+import pytest
+import torch
+
+from multimodal_alzheimer_tpu.data import MultiModalDataset, load_nifti, save_nifti
+from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+from multimodal_alzheimer_tpu.data.tabular import tabular_vector
+
+
+@pytest.fixture(scope="module")
+def split(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    return write_synthetic_split(str(out), n_subjects=(10, 3, 3), seed=0)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8, np.float64])
+def test_nifti_roundtrip(tmp_path, compress, dtype):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        vol = rng.normal(size=(7, 9, 5)).astype(dtype)
+    else:
+        vol = rng.integers(0, 100, size=(7, 9, 5)).astype(dtype)
+    path = tmp_path / ("v.nii.gz" if compress else "v.nii")
+    save_nifti(path, vol)
+    back = load_nifti(path, dtype=np.float64)
+    np.testing.assert_allclose(back, vol.astype(np.float64))
+
+
+def test_pet_only_dataset(split):
+    ds = MultiModalDataset(split["train"], modalities=["pet1451"],
+                           normalize_pet={"mean": 0.5145, "std": 0.5383})
+    assert len(ds) > 0
+    item = ds[0]
+    assert set(item) == {"pet1451", "label"}
+    assert item["pet1451"].shape == (19, 23, 17)
+    # host-normalized parity with torchvision Normalize semantics
+    norm = ds.host_normalized_item(0)
+    expected = (torch.tensor(item["pet1451"]) - 0.5145) / 0.5383
+    np.testing.assert_allclose(norm["pet1451"], expected.numpy(), rtol=1e-5)
+
+
+def test_mri_dataset_per_scan_minmax(split):
+    ds = MultiModalDataset(split["train"], modalities=["t1w"],
+                           normalize_mri={"per_scan_norm": "min_max"},
+                           quantile=0.98)
+    item = ds[0]
+    assert {"mri", "mri_mask", "label"} <= set(item)
+    norm = ds.host_normalized_item(0)
+    assert "mri_mask" not in norm
+    # reference recipe oracle
+    vol = torch.tensor(item["mri"])
+    mask = torch.tensor(item["mri_mask"])
+    vals = (vol * mask).reshape(-1)
+    vals = vals[vals.nonzero()]
+    qmax = torch.quantile(vals, 0.98, interpolation="linear")
+    qmin = torch.quantile(vals, 0.02, interpolation="linear")
+    expected = (vol - qmin) / (qmax - qmin)
+    expected[expected > 1] = 1
+    expected[expected < 0] = 0
+    expected *= mask
+    np.testing.assert_allclose(norm["mri"], expected.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_binary_classification_drops_mci(split):
+    ds3 = MultiModalDataset(split["train"], modalities=["tabular"])
+    ds2 = MultiModalDataset(split["train"], modalities=["tabular"],
+                            binary_classification=True)
+    ds2b = MultiModalDataset(split["train"], modalities=["tabular"],
+                             binary_classification=2)
+    assert len(ds2) == len(ds2b) < len(ds3)
+    assert ds2.label_mapping == {"CN": 0, "Dementia": 1}
+    assert ds3.label_mapping == {"CN": 0, "MCI": 1, "Dementia": 2}
+    labels2 = {int(ds2[i]["label"]) for i in range(len(ds2))}
+    assert labels2 <= {0, 1}
+
+
+def test_label_distribution(split):
+    ds = MultiModalDataset(split["train"], modalities=["tabular"])
+    counts, normalized = ds.get_label_distribution()
+    assert counts.shape == (3,)
+    np.testing.assert_allclose(np.nansum(normalized), 1.0, rtol=1e-6)
+    # class weights as the reference builds them (train_pet_cnn.py:166-167)
+    weights = 1 - normalized
+    assert np.all(weights[~np.isnan(weights)] >= 0)
+
+
+def test_tabular_whole_brain_compat(split):
+    ds = MultiModalDataset(split["train"], modalities=["tabular"])
+    row = ds.ds.iloc[0]
+    vec_bug = tabular_vector(row, compat_whole_brain_bug=True)
+    vec_fix = tabular_vector(row, compat_whole_brain_bug=False)
+    assert vec_bug[4] == vec_bug[1]  # PTEDUCAT duplicated (dataloader.py:301)
+    assert vec_fix[4] == np.float32(row["WholeBrain"])
+    item = ds[0]
+    assert item["tabular"].shape == (9,)
+
+
+def test_fused_dataset_all_modalities(split):
+    ds = MultiModalDataset(split["train"],
+                           modalities=["pet1451", "t1w", "tabular"],
+                           normalize_pet={"mean": 0.5, "std": 0.6},
+                           normalize_mri={"per_scan_norm": "normalize"})
+    if len(ds) == 0:
+        pytest.skip("synthetic seed produced no fully-paired triples")
+    item = ds[0]
+    assert {"pet1451", "mri", "mri_mask", "tabular", "label"} <= set(item)
+
+
+def test_device_preprocess_matches_host(split):
+    import jax.numpy as jnp
+
+    ds = MultiModalDataset(split["train"], modalities=["t1w"],
+                           normalize_mri={"per_scan_norm": "normalize"})
+    items = [ds[i] for i in range(min(3, len(ds)))]
+    batch = {
+        "mri": jnp.stack([i["mri"] for i in items]),
+        "mri_mask": jnp.stack([i["mri_mask"] for i in items]),
+        "label": jnp.stack([i["label"] for i in items]),
+    }
+    out = ds.get_device_preprocess()(batch)
+    assert "mri_mask" not in out
+    for k, item in enumerate(items):
+        host = ds.host_normalized_item(k)
+        np.testing.assert_allclose(np.asarray(out["mri"][k]), host["mri"],
+                                   rtol=2e-3, atol=2e-4)
