@@ -1,0 +1,57 @@
+"""Stage-2 MRI+tabular fusion (reference Tabular_MRT_Model parity).
+
+Reference: pkg/models/fusion_models/tabular_mri_fusion.py:11-124.
+``reduce_tab`` = Linear(1024->512)+ReLU on the tabular decoder embedding;
+concat order (tabular, MRI) (:76-78); fuse head Linear(1024->64) -> ReLU ->
+Linear(n_classes); stage-3 tap = pre-ReLU fused 64-d.
+
+The reference's ``requires_Grad`` typo (:30) means its tabular encoder is
+never truly frozen — freezing here is explicit via optimizer param groups
+(train/optim.py), with the typo's *effective* behavior (encoder excluded
+from the optimizer unless ``lr_pretrained``) reproduced.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multimodal_alzheimer_tpu.models.mri_models.anat_cnn import AnatCNN
+from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import TabularMLP
+
+
+class TabularMRIFusion(nn.Module):
+    n_classes: int
+    mri_model: AnatCNN
+    tab_model: TabularMLP
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_hparams(cls, hparams: dict, mri_hparams: dict,
+                     tab_hparams: dict, **overrides) -> "TabularMRIFusion":
+        kwargs = dict(
+            n_classes=hparams["n_classes"],
+            mri_model=AnatCNN.from_hparams(mri_hparams),
+            tab_model=TabularMLP.from_hparams(tab_hparams),
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False) -> dict:
+        mri_out = self.mri_model(batch, train)
+        tab_out = self.tab_model(batch, train)
+        emb_tab = tab_out["embeddings"]["decoder"]
+        out_mri = mri_out["embeddings"]["backbone_gap"]
+
+        out_tab = nn.relu(nn.Dense(512, dtype=self.dtype,
+                                   name="reduce_tab")(emb_tab))
+        h = jnp.concatenate([out_tab, out_mri], axis=1)
+        fused = nn.Dense(64, dtype=self.dtype, name="stage2out")(h)
+        logits = nn.Dense(self.n_classes, dtype=self.dtype,
+                          name="cls2")(nn.relu(fused))
+        return {"logits": logits.astype(jnp.float32),
+                "embeddings": {"fusion": fused}}
+
+    def fusion_tap(self) -> str:
+        return "fusion"

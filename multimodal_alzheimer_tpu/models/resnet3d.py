@@ -1,0 +1,137 @@
+"""MedicalNet/Med3D-style 3D ResNet backbones (depths 10/18/34/50), in flax.
+
+The reference imports these from the external MedicalNet package and loads
+``resnet_{10,18,50}_23dataset.pth`` (reference: mri_models/anat_cnn.py:18-31,
+pet_models/pet_resnet_cnn.py:22-35). This is a from-scratch reimplementation
+of that architecture — the Med3D *segmentation-style* backbone:
+
+  stem: Conv3d(k=7, stride=2, pad=3, no bias) -> BN -> ReLU ->
+        MaxPool3d(k=3, stride=2, pad=1)
+  layer1: 64 planes,  stride 1, dilation 1
+  layer2: 128 planes, stride 2, dilation 1
+  layer3: 256 planes, stride 1, dilation 2   (no downsampling; dilated)
+  layer4: 512 planes, stride 1, dilation 4
+
+BasicBlock (depth 10: [1,1,1,1]; 18: [2,2,2,2]; 34: [3,4,6,3]) or
+Bottleneck x4 expansion (depth 50: [3,4,6,3] -> 2048 channels), shortcut
+type 'B' (1x1x1 conv + BN projection when shape changes).
+
+Padding is explicit (torch-style symmetric) rather than 'SAME' so that
+converted pretrained torch weights produce identical activations; see
+tools/convert_medicalnet.py for the .pth -> flax converter.
+
+Layout is NDHWC (channels-last), the native TPU conv layout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BLOCK_CONFIGS = {
+    10: ("basic", (1, 1, 1, 1)),
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+}
+
+FEATURE_WIDTH = {10: 512, 18: 512, 34: 512, 50: 2048}
+
+
+def _conv(features, kernel, stride=1, dilation=1, name=None):
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(features, (kernel,) * 3, strides=(stride,) * 3,
+                   kernel_dilation=(dilation,) * 3,
+                   padding=[(pad, pad)] * 3, use_bias=False, name=name)
+
+
+def _bn(train: bool, name: str):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class BasicBlock3D(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = _conv(self.planes, 3, self.stride, self.dilation,
+                    name="conv1")(x)
+        out = _bn(train, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = _conv(self.planes, 1, self.stride,
+                             name="downsample_conv")(x)
+            residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class Bottleneck3D(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = nn.relu(_bn(train, "bn1")(out))
+        out = _conv(self.planes, 3, self.stride, self.dilation,
+                    name="conv2")(out)
+        out = nn.relu(_bn(train, "bn2")(out))
+        out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
+        out = _bn(train, "bn3")(out)
+        out_ch = self.planes * self.expansion
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = _conv(out_ch, 1, self.stride,
+                             name="downsample_conv")(x)
+            residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+def _max_pool_stem(x):
+    """MaxPool3d(k=3, s=2, p=1), torch floor semantics via explicit pad."""
+    return nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+                       padding=[(1, 1)] * 3)
+
+
+class MedicalNetResNet3D(nn.Module):
+    """Backbone only: (B, D, H, W, C_in) -> dilated (B, d, h, w, C_out)."""
+
+    depth: int = 18
+    in_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, layout = BLOCK_CONFIGS[self.depth]
+        block = BasicBlock3D if block_kind == "basic" else Bottleneck3D
+
+        x = _conv(64, 7, stride=2, name="conv1")(x)
+        x = nn.relu(_bn(train, "bn1")(x))
+        x = _max_pool_stem(x)
+
+        specs = [  # (planes, stride, dilation) per Med3D resnet.py
+            (64, 1, 1),
+            (128, 2, 1),
+            (256, 1, 2),
+            (512, 1, 4),
+        ]
+        for li, (planes, stride, dilation) in enumerate(specs, start=1):
+            for bi in range(layout[li - 1]):
+                x = block(planes=planes,
+                          stride=stride if bi == 0 else 1,
+                          dilation=dilation,
+                          name=f"layer{li}_block{bi}")(x, train)
+        return x
+
+    @property
+    def feature_width(self) -> int:
+        return FEATURE_WIDTH[self.depth]

@@ -1,0 +1,189 @@
+"""Checkpointing: orbax serialization, top-k managers, parameter grafting.
+
+Reference behaviors reproduced (SURVEY.md §5 checkpoint/resume):
+  * two top-k managers per run — best-k by val_loss (min) and by val_f1
+    (max), filename templates ``epoch={E}-val_loss={v:.3f}`` /
+    ``epoch={E}-val_f1={v:.3f}`` (reference: train_pet_cnn.py:191-200),
+  * hyperparameters embedded in every checkpoint so models reconstruct
+    without external config (``save_hyperparameters``, base_model.py:14),
+  * the fusion stages' "checkpoint surgery" becomes ``graft_params``:
+    stage-1/2 parameter subtrees are loaded into the fusion model's
+    matching submodule paths (instead of torch module slicing,
+    anat_pet_fusion.py:16-32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_serializable(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str | Path, variables: dict, hparams: dict,
+                    metrics: Optional[dict] = None) -> None:
+    """Write {params, batch_stats} + hparams.json (+ metrics.json)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", _to_serializable(variables))
+    ckptr.wait_until_finished()
+    with open(path / "hparams.json", "w") as f:
+        json.dump(_jsonable(hparams), f, indent=2)
+    if metrics is not None:
+        with open(path / "metrics.json", "w") as f:
+            json.dump(_jsonable(metrics), f, indent=2)
+
+
+def load_checkpoint(path: str | Path):
+    """Returns (variables, hparams, metrics|None)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    variables = ckptr.restore(path / "state")
+    with open(path / "hparams.json") as f:
+        hparams = json.load(f)
+    metrics = None
+    metrics_file = path / "metrics.json"
+    if metrics_file.exists():
+        with open(metrics_file) as f:
+            metrics = json.load(f)
+    return variables, hparams, metrics
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.ndarray, jax.Array)):
+        return np.asarray(obj).tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj
+
+
+class TopKCheckpointManager:
+    """Keep the k best checkpoints by one metric (min or max).
+
+    The reference runs two Lightning ModelCheckpoint callbacks per training
+    (train_pet_cnn.py:191-200); instantiate two of these.
+    """
+
+    def __init__(self, root: str | Path, metric: str, mode: str = "min",
+                 top_k: int = 3, filename_metric: Optional[str] = None):
+        self.root = Path(root)
+        self.metric = metric
+        self.mode = mode
+        self.top_k = top_k
+        self.filename_metric = filename_metric or metric
+        self.entries: list[tuple[float, str]] = []  # (value, dir)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def consider(self, epoch: int, metrics: dict, variables: dict,
+                 hparams: dict) -> Optional[str]:
+        """Save if within top-k; returns the checkpoint dir or None."""
+        value = float(metrics[self.metric])
+        if len(self.entries) >= self.top_k:
+            worst = self.entries[-1][0]
+            if not self._better(value, worst):
+                return None
+        name = f"epoch={epoch}-{self.filename_metric}={value:.3f}"
+        path = self.root / name
+        save_checkpoint(path, variables, hparams, metrics)
+        self.entries.append((value, str(path)))
+        self.entries.sort(key=lambda e: e[0],
+                          reverse=(self.mode == "max"))
+        while len(self.entries) > self.top_k:
+            _, evict = self.entries.pop()
+            if evict != str(path) and os.path.isdir(evict):
+                shutil.rmtree(evict, ignore_errors=True)
+            elif evict == str(path):
+                # the new ckpt itself fell out (can't happen due to the
+                # early return, but keep the invariant safe)
+                shutil.rmtree(evict, ignore_errors=True)
+        return str(path)
+
+    @property
+    def best_path(self) -> Optional[str]:
+        return self.entries[0][1] if self.entries else None
+
+    @property
+    def best_value(self) -> Optional[float]:
+        return self.entries[0][0] if self.entries else None
+
+
+def graft_params(target_variables: dict, grafts: dict[str, dict]) -> dict:
+    """Load pretrained subtrees into a fusion model's parameter tree.
+
+    Args:
+      target_variables: the fusion model's init-time {'params', ...}.
+      grafts: submodule name (e.g. 'pet_model') -> that submodule's
+        {'params', 'batch_stats'} from a stage-1 checkpoint. Nested paths
+        use '/' (e.g. 'model_anat_pet/pet_model').
+
+    Returns a new variables dict with the subtrees replaced. Structures
+    must match; a mismatch raises (catches wiring bugs the reference's
+    load_state_dict would silently mis-map).
+    """
+    import flax
+
+    out = flax.core.unfreeze(target_variables)
+    for sub_path, sub_vars in grafts.items():
+        keys = sub_path.split("/")
+        for collection in ("params", "batch_stats"):
+            if collection not in sub_vars or sub_vars[collection] is None:
+                continue
+            if collection not in out:
+                if _tree_size(sub_vars[collection]) == 0:
+                    continue
+                raise ValueError(f"target has no collection {collection}")
+            node = out[collection]
+            for k in keys[:-1]:
+                node = node[k]
+            leaf_name = keys[-1]
+            if leaf_name not in node:
+                if collection == "batch_stats" and \
+                        _tree_size(sub_vars[collection]) == 0:
+                    continue
+                raise ValueError(
+                    f"{sub_path} not in target {collection} tree "
+                    f"(have: {list(node.keys())})")
+            _check_same_structure(node[leaf_name], sub_vars[collection],
+                                  f"{collection}/{sub_path}")
+            node[leaf_name] = sub_vars[collection]
+    return out
+
+
+def _tree_size(tree) -> int:
+    return len(jax.tree_util.tree_leaves(tree))
+
+
+def _check_same_structure(a, b, where: str) -> None:
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        raise ValueError(f"graft structure mismatch at {where}:\n"
+                         f"  target: {ta}\n  source: {tb}")
+    for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_flatten_with_path(b)[0]):
+        if np.shape(la) != np.shape(lb):
+            raise ValueError(
+                f"graft shape mismatch at {where}{jax.tree_util.keystr(pa)}: "
+                f"{np.shape(la)} vs {np.shape(lb)}")
