@@ -45,8 +45,8 @@ class Trainer:
     def __init__(self,
                  model,
                  hparams: dict,
-                 optimizer,
-                 criterion: Callable,
+                 optimizer=None,
+                 criterion: Callable = None,
                  preprocess: Optional[Callable] = None,
                  logger: Optional[ExperimentLogger] = None,
                  checkpoint_dir: Optional[str] = None,
@@ -62,8 +62,9 @@ class Trainer:
         self.label_ind_by_names = LABEL_NAMES[self.n_classes]
         self.log_confusion_images = log_confusion_images
 
-        self.train_step = make_train_step(model, criterion, optimizer,
-                                          preprocess)
+        self.train_step = (make_train_step(model, criterion, optimizer,
+                                           preprocess)
+                           if optimizer is not None else None)
         self.eval_step = make_eval_step(model, criterion, preprocess)
 
         self.root_rng = jax.random.PRNGKey(seed)
@@ -80,11 +81,18 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def init_state(self, example_batch: dict) -> TrainState:
+    def init_state(self, example_batch: dict,
+                   variables_transform=None) -> TrainState:
+        """Init params from an example batch. ``variables_transform`` hooks
+        pretrained grafting (checkpoint.graft_params) between init and
+        optimizer-state creation — the reference's load_from_checkpoint +
+        module-surgery moment (anat_pet_fusion.py:16-32)."""
         init_rng, self.root_rng = jax.random.split(self.root_rng)
         batch = (self.preprocess(example_batch) if self.preprocess
                  else example_batch)
         variables = self.model.init(init_rng, batch, train=False)
+        if variables_transform is not None:
+            variables = variables_transform(variables)
         return TrainState.create(variables, self.optimizer)
 
     def fit(self, state: TrainState, train_loader, val_loader,

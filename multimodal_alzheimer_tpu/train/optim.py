@@ -37,7 +37,7 @@ def adam_group(lr: float, l2_reg: float = 0.0) -> optax.GradientTransformation:
 
 def build_optimizer(group_lrs: Dict[str, Optional[float]],
                     label_fn: Callable,
-                    params,
+                    params=None,
                     l2_reg: float = 0.0) -> optax.GradientTransformation:
     """Multi-group optimizer.
 
@@ -45,7 +45,8 @@ def build_optimizer(group_lrs: Dict[str, Optional[float]],
       group_lrs: group name -> lr (None => frozen: no updates, matching
         ``requires_grad = False`` / exclusion from the torch optimizer).
       label_fn: maps a param path tuple (module names) -> group name.
-      params: the param pytree (labels are computed per leaf path).
+      params: unused (labels are computed lazily from the tree passed to
+        ``optimizer.init``); kept for call-site clarity.
       l2_reg: torch-style weight decay, applied to all non-frozen groups
         (the reference passes one ``weight_decay`` for the whole optimizer).
     """

@@ -8,7 +8,9 @@ env vars must be set before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set: the machine presets JAX_PLATFORMS=axon (the TPU tunnel); tests
+# must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Persistent compilation cache makes repeated test runs much faster.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# The machine's sitecustomize imports jax at interpreter start (with
+# JAX_PLATFORMS=axon captured); override the already-imported config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -79,18 +79,19 @@ def test_multi_group_optimizer_freezes_backbone():
                                         pretrained_lr=None)
     optimizer = build_optimizer({"head": 1e-2}, label_fn,
                                 variables["params"], l2_reg=1e-2)
+    # snapshot before the step: the donated state aliases these buffers
+    conv0 = np.asarray(
+        variables["params"]["convs"]["block_0"]["conv"]["kernel"])
+    head_before = np.asarray(variables["params"]["cls"]["kernel"])
+
     state = TrainState.create(variables, optimizer)
     step = make_train_step(model, criterion, optimizer)
     state2, _ = step(state, batch, jax.random.PRNGKey(1))
 
-    conv0 = variables["params"]["convs"]["block_0"]["conv"]["kernel"]
     conv0_after = state2.params["convs"]["block_0"]["conv"]["kernel"]
-    np.testing.assert_array_equal(np.asarray(conv0),
-                                  np.asarray(conv0_after))
-    head_before = variables["params"]["cls"]["kernel"]
+    np.testing.assert_array_equal(conv0, np.asarray(conv0_after))
     head_after = state2.params["cls"]["kernel"]
-    assert np.abs(np.asarray(head_after) -
-                  np.asarray(head_before)).max() > 0
+    assert np.abs(np.asarray(head_after) - head_before).max() > 0
 
 
 def test_torch_adam_parity_dense_layer():
