@@ -1,0 +1,124 @@
+"""Benchmark: 3D MRI volumes/sec/chip on the flagship training step.
+
+Measures the jitted training step of the flagship model — MedicalNet
+ResNet-18 3D MRI classifier (BASELINE.json config 3) at the real ADNI
+MNI-2mm volume shape 91x109x91 — including the on-device per-scan
+normalization, forward, loss, backward and Adam update, in bfloat16
+compute / float32 params.
+
+Baseline context: the reference is a single-GPU PyTorch pipeline with no
+published throughput numbers (BASELINE.json "published": {}). The
+north-star target is >=5x H100 volumes/sec/chip; we use an estimated H100
+fp32 train throughput for this model/shape of 50 volumes/s, making the
+target 250 volumes/s/chip. ``vs_baseline`` reports value/250 (i.e. >=1.0
+means the 5x-H100 north star is met).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_VOLUMES_PER_S = 250.0  # 5x estimated H100 (~50 vol/s) north star
+VOLUME_SHAPE = (91, 109, 91)
+
+
+def build_step(batch_size: int, dtype_name: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.losses import make_criterion
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.ops.normalization import mri_per_scan_zscore
+    from multimodal_alzheimer_tpu.train import (
+        TrainState,
+        make_train_step,
+        single_lr_optimizer,
+    )
+
+    hparams = {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
+               "batchnorm_begin": False, "lr": 1e-3}
+    model = AnatCNN.from_hparams(
+        hparams, dtype=getattr(jnp, dtype_name))
+    criterion = make_criterion({"loss_class_weights": [0.4, 0.3, 0.3]})
+    optimizer = single_lr_optimizer(hparams["lr"])
+
+    def preprocess(batch):
+        out = dict(batch)
+        out["mri"] = jax.vmap(mri_per_scan_zscore)(out["mri"],
+                                                   out.pop("mri_mask"))
+        return out
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mri": jnp.asarray(rng.normal(900, 400, (batch_size,) + VOLUME_SHAPE)
+                           .astype(np.float32)),
+        "mri_mask": jnp.asarray(
+            (rng.random((batch_size,) + VOLUME_SHAPE) > 0.35)
+            .astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 3, batch_size), jnp.int32),
+    }
+
+    variables = model.init(jax.random.PRNGKey(0), preprocess(batch),
+                           train=False)
+    state = TrainState.create(variables, optimizer)
+    step = make_train_step(model, criterion, optimizer, preprocess)
+    dropout_rng = jax.random.PRNGKey(1)
+    return step, state, batch, dropout_rng
+
+
+def measure(batch_size: int, warmup: int = 3, iters: int = 10):
+    import jax
+
+    step, state, batch, rng = build_step(batch_size)
+    for _ in range(warmup):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    batch_size = 32
+    value = None
+    while batch_size >= 2:
+        try:
+            value = measure(batch_size)
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                print(f"batch {batch_size} OOM; retrying smaller",
+                      file=sys.stderr)
+                batch_size //= 2
+                continue
+            raise
+    if value is None:
+        raise RuntimeError("could not fit even batch 2")
+
+    n_chips = 1
+    try:
+        import jax
+
+        n_chips = max(1, len(jax.devices()))
+    except Exception:
+        pass
+    per_chip = value / n_chips
+    print(json.dumps({
+        "metric": "mri3d_resnet18_train_volumes_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "volumes/s/chip",
+        "vs_baseline": round(per_chip / TARGET_VOLUMES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

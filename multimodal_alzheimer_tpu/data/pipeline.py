@@ -98,12 +98,17 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def producer():
             try:
                 for indices in self._batches_of_indices():
+                    if stop.is_set():
+                        break
                     out_q.put(self._load_batch(indices, pool))
+            except RuntimeError:
+                pass  # pool shut down by an abandoned iterator
             finally:
                 out_q.put(sentinel)
 
@@ -122,4 +127,11 @@ class DataLoader:
                             else jax.device_put(item))
                 yield item
         finally:
+            stop.set()
+            # drain so a blocked producer put() can observe the stop flag
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
             pool.shutdown(wait=False)
