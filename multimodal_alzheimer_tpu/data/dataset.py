@@ -23,7 +23,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 import pandas as pd
 
-from multimodal_alzheimer_tpu.data.nifti import load_nifti
+from multimodal_alzheimer_tpu.data import native_io
 from multimodal_alzheimer_tpu.data.pairing import expand_pairings
 from multimodal_alzheimer_tpu.data.tabular import tabular_vector
 
@@ -120,21 +120,21 @@ class MultiModalDataset:
 
         pet_path = sample.get("path_pet1451")
         if pet_path is not None:
-            pet = load_nifti(pet_path)
+            pet = native_io.decode(pet_path)
             if self.transform_pet:
                 pet = self.transform_pet(pet)
             data["pet1451"] = np.asarray(pet, dtype=np.float32)
 
         mri_path = sample.get("path_anat")
         if mri_path is not None:
-            mri = load_nifti(mri_path)
+            mri = native_io.decode(mri_path)
             if self.transform_mri:
                 mri = self.transform_mri(mri)
             data["mri"] = np.asarray(mri, dtype=np.float32)
             mask_path = sample.get("path_anat_mask")
             if (self.normalize_mri and "per_scan_norm" in self.normalize_mri
                     and mask_path is not None):
-                data["mri_mask"] = np.asarray(load_nifti(mask_path),
+                data["mri_mask"] = np.asarray(native_io.decode(mask_path),
                                               dtype=np.float32)
 
         if sample.get("AGE") is not None:
