@@ -33,6 +33,8 @@ class AnatCNN(nn.Module):
     batchnorm_conv: bool = False
     batchnorm_dense: bool = False
     trailing_relu: bool = True
+    stem_s2d: bool = True   # numerically-exact fast stem (resnet3d.py)
+    dilated: bool = True    # Med3D parity; False = fast strided mode
     dtype: jnp.dtype = jnp.float32
     input_key: str = "mri"
 
@@ -53,6 +55,8 @@ class AnatCNN(nn.Module):
             x = x[..., None]
         x = x.astype(self.dtype)
         fmap = MedicalNetResNet3D(depth=self.resnet_depth,
+                                  stem_s2d=self.stem_s2d,
+                                  dilated=self.dilated,
                                   name="backbone")(x, train)
         out = ClassifierHead3D(
             n_classes=self.n_classes,
