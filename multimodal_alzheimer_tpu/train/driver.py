@@ -105,7 +105,8 @@ def run_training(model, hparams: dict, trainset, valset,
                  seed: int = 5,
                  num_workers: int = 8,
                  drop_last: bool = False,
-                 variables_transform=None):
+                 variables_transform=None,
+                 mesh=None):
     """Build loaders + Trainer, fit, return (trainer, state, last_val_loss)."""
     seed_everything(seed)
 
@@ -128,7 +129,7 @@ def run_training(model, hparams: dict, trainset, valset,
         preprocess=trainset.get_device_preprocess(),
         logger=logger,
         checkpoint_dir=str(logger.log_dir / "checkpoints"),
-        seed=seed)
+        seed=seed, mesh=mesh)
 
     example = next(iter(DataLoader(trainset, hparams["batch_size"],
                                    num_workers=num_workers)))

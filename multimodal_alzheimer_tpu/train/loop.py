@@ -51,7 +51,8 @@ class Trainer:
                  logger: Optional[ExperimentLogger] = None,
                  checkpoint_dir: Optional[str] = None,
                  seed: int = 5,
-                 log_confusion_images: bool = True):
+                 log_confusion_images: bool = True,
+                 mesh=None):
         self.model = model
         self.hparams = dict(hparams)
         self.optimizer = optimizer
@@ -61,6 +62,10 @@ class Trainer:
         self.n_classes = hparams["n_classes"]
         self.label_ind_by_names = LABEL_NAMES[self.n_classes]
         self.log_confusion_images = log_confusion_images
+        # Data parallelism: with a mesh, state is replicated and every
+        # batch is sharded on the 'data' axis; XLA inserts the gradient
+        # all-reduce over ICI (parallel/mesh.py).
+        self.mesh = mesh
 
         self.train_step = (make_train_step(model, criterion, optimizer,
                                            preprocess)
@@ -93,7 +98,28 @@ class Trainer:
         variables = self.model.init(init_rng, batch, train=False)
         if variables_transform is not None:
             variables = variables_transform(variables)
-        return TrainState.create(variables, self.optimizer)
+        state = TrainState.create(variables, self.optimizer)
+        if self.mesh is not None:
+            from multimodal_alzheimer_tpu.parallel import replicate
+
+            state = replicate(state, self.mesh)
+        return state
+
+    def _place(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return batch
+        from multimodal_alzheimer_tpu.parallel import (
+            replicate,
+            shard_batch,
+        )
+
+        n = int(next(iter(batch.values())).shape[0])
+        if n % self.mesh.devices.size == 0:
+            return shard_batch(batch, self.mesh)
+        # Ragged tail batch: replicate instead of shard — every device
+        # computes the full batch redundantly, results stay exact (one
+        # extra jit specialization; no padding-induced metric skew).
+        return replicate(batch, self.mesh)
 
     def fit(self, state: TrainState, train_loader, val_loader,
             max_epochs: Optional[int] = None) -> tuple[TrainState, float]:
@@ -145,16 +171,19 @@ class Trainer:
         n_samples = 0
         for batch in loader:
             step_rng, self.root_rng = jax.random.split(self.root_rng)
-            state, aux = self.train_step(state, batch, step_rng)
-            losses.append(aux["loss"])
-            all_logits.append(aux["logits"])
-            all_labels.append(aux["labels"])
+            state, aux = self.train_step(state, self._place(batch),
+                                         step_rng)
+            # host copies: step outputs can carry different shardings
+            # (sharded full batches vs replicated ragged tails)
+            losses.append(float(aux["loss"]))
+            all_logits.append(np.asarray(aux["logits"]))
+            all_labels.append(np.asarray(aux["labels"]))
             n_samples += int(aux["labels"].shape[0])
-        logits = jnp.concatenate(all_logits)
-        labels = jnp.concatenate(all_labels)
+        logits = jnp.asarray(np.concatenate(all_logits))
+        labels = jnp.asarray(np.concatenate(all_labels))
         m = epoch_metrics(logits, labels, self.n_classes)
         scalars = {
-            "train_loss_epoch": float(jnp.mean(jnp.stack(losses))),
+            "train_loss_epoch": float(np.mean(losses)),
             "train_f1_epoch": float(m["f1"]),
         }
         for i in range(self.n_classes):
@@ -167,13 +196,13 @@ class Trainer:
             else state
         losses, sizes, all_logits, all_labels = [], [], [], []
         for batch in loader:
-            aux = self.eval_step(variables, batch)
+            aux = self.eval_step(variables, self._place(batch))
             losses.append(float(aux["loss"]))
             sizes.append(int(aux["labels"].shape[0]))
-            all_logits.append(aux["logits"])
-            all_labels.append(aux["labels"])
-        logits = jnp.concatenate(all_logits)
-        labels = jnp.concatenate(all_labels)
+            all_logits.append(np.asarray(aux["logits"]))
+            all_labels.append(np.asarray(aux["labels"]))
+        logits = jnp.asarray(np.concatenate(all_logits))
+        labels = jnp.asarray(np.concatenate(all_labels))
         m = epoch_metrics(logits, labels, self.n_classes)
         # Lightning averages the per-batch losses (unweighted mean over
         # batches, base_model.py:113-115)
