@@ -87,6 +87,44 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 10):
     return batch_size * iters / dt
 
 
+def measure_infer(batch_size: int, warmup: int = 3, iters: int = 10):
+    """Inference throughput (eval step incl. on-device normalization)."""
+    import jax
+
+    from multimodal_alzheimer_tpu.train import make_eval_step
+
+    step, state, batch, rng = build_step(batch_size)
+    # rebuild an eval step from the same model/criterion closure pieces
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.losses import make_criterion
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.ops.normalization import mri_per_scan_zscore
+
+    hparams = {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
+               "batchnorm_begin": False, "lr": 1e-3}
+    model = AnatCNN.from_hparams(hparams, dtype=jnp.bfloat16)
+    criterion = make_criterion({"loss_class_weights": [0.4, 0.3, 0.3]})
+
+    def preprocess(b):
+        out = dict(b)
+        out["mri"] = jax.vmap(mri_per_scan_zscore)(out["mri"],
+                                                   out.pop("mri_mask"))
+        return out
+
+    eval_step = make_eval_step(model, criterion, preprocess)
+    variables = state.variables()
+    for _ in range(warmup):
+        aux = eval_step(variables, batch)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        aux = eval_step(variables, batch)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 def main():
     batch_size = 32
     value = None
@@ -103,6 +141,13 @@ def main():
             raise
     if value is None:
         raise RuntimeError("could not fit even batch 2")
+
+    try:
+        infer = measure_infer(batch_size)
+        print(f"infer throughput: {infer:.1f} volumes/s/chip",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"infer bench failed: {e}", file=sys.stderr)
 
     n_chips = 1
     try:

@@ -35,6 +35,7 @@ class AnatCNN(nn.Module):
     trailing_relu: bool = True
     stem_s2d: bool = True   # numerically-exact fast stem (resnet3d.py)
     dilated: bool = True    # Med3D parity; False = fast strided mode
+    remat: bool = False     # rematerialize blocks (larger batches)
     dtype: jnp.dtype = jnp.float32
     input_key: str = "mri"
 
@@ -57,6 +58,7 @@ class AnatCNN(nn.Module):
         fmap = MedicalNetResNet3D(depth=self.resnet_depth,
                                   stem_s2d=self.stem_s2d,
                                   dilated=self.dilated,
+                                  remat=self.remat,
                                   name="backbone")(x, train)
         out = ClassifierHead3D(
             n_classes=self.n_classes,

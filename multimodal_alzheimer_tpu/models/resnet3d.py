@@ -216,12 +216,15 @@ class MedicalNetResNet3D(nn.Module):
     depth: int = 18
     stem_s2d: bool = True
     dilated: bool = True
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     in_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_kind, layout = BLOCK_CONFIGS[self.depth]
         block = BasicBlock3D if block_kind == "basic" else Bottleneck3D
+        if self.remat:
+            block = nn.remat(block, static_argnums=(2,))
 
         if self.stem_s2d and x.shape[-1] == 1:
             x = SpaceToDepthStem(64, name="conv1")(x)
