@@ -59,6 +59,7 @@ class AnatCNN(nn.Module):
                                   stem_s2d=self.stem_s2d,
                                   dilated=self.dilated,
                                   remat=self.remat,
+                                  dtype=self.dtype,
                                   name="backbone")(x, train)
         out = ClassifierHead3D(
             n_classes=self.n_classes,

@@ -41,11 +41,16 @@ BLOCK_CONFIGS = {
 FEATURE_WIDTH = {10: 512, 18: 512, 34: 512, 50: 2048}
 
 
-def _conv(features, kernel, stride=1, dilation=1, name=None):
+def _conv(features, kernel, stride=1, dilation=1, name=None,
+          dtype=jnp.float32):
+    # dtype matters: with flax's default (None) the f32 kernel params
+    # promote bf16 activations to f32 and the conv runs at f32 rate on
+    # the MXU — silently halving throughput. param_dtype stays f32.
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(features, (kernel,) * 3, strides=(stride,) * 3,
                    kernel_dilation=(dilation,) * 3,
-                   padding=[(pad, pad)] * 3, use_bias=False, name=name)
+                   padding=[(pad, pad)] * 3, use_bias=False, name=name,
+                   dtype=dtype)
 
 
 class SpaceToBatchConv3D(nn.Module):
@@ -94,16 +99,19 @@ class SpaceToBatchConv3D(nn.Module):
         return out[:, :D, :H, :W, :]
 
 
-def _bn(train: bool, name: str):
+def _bn(train: bool, name: str, dtype=jnp.float32):
+    # dtype: keep activations in the model's compute dtype (bf16 on TPU);
+    # without it flax promotes to f32 at every BN, inserting casts around
+    # each block boundary. Params/running stats stay f32 (param_dtype).
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
-def _conv3x3(features, stride, dilation, s2b, name):
+def _conv3x3(features, stride, dilation, s2b, name, dtype=jnp.float32):
     """3^3 conv; space-to-batch fast path for stride-1 dilated convs."""
     if s2b and dilation > 1 and stride == 1:
         return SpaceToBatchConv3D(features, dilation, name=name)
-    return _conv(features, 3, stride, dilation, name=name)
+    return _conv(features, 3, stride, dilation, name=name, dtype=dtype)
 
 
 class BasicBlock3D(nn.Module):
@@ -111,21 +119,22 @@ class BasicBlock3D(nn.Module):
     stride: int = 1
     dilation: int = 1
     s2b: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         out = _conv3x3(self.planes, self.stride, self.dilation, self.s2b,
-                       "conv1")(x)
-        out = _bn(train, "bn1")(out)
+                       "conv1", self.dtype)(x)
+        out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = _conv3x3(self.planes, 1, self.dilation, self.s2b,
-                       "conv2")(out)
-        out = _bn(train, "bn2")(out)
+                       "conv2", self.dtype)(out)
+        out = _bn(train, "bn2", self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = _conv(self.planes, 1, self.stride,
-                             name="downsample_conv")(x)
-            residual = _bn(train, "downsample_bn")(residual)
+                             name="downsample_conv", dtype=self.dtype)(x)
+            residual = _bn(train, "downsample_bn", self.dtype)(residual)
         return nn.relu(out + residual)
 
 
@@ -135,22 +144,24 @@ class Bottleneck3D(nn.Module):
     dilation: int = 1
     expansion: int = 4
     s2b: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = _conv(self.planes, 1, name="conv1")(x)
-        out = nn.relu(_bn(train, "bn1")(out))
+        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = nn.relu(_bn(train, "bn1", self.dtype)(out))
         out = _conv3x3(self.planes, self.stride, self.dilation, self.s2b,
-                       "conv2")(out)
-        out = nn.relu(_bn(train, "bn2")(out))
-        out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
-        out = _bn(train, "bn3")(out)
+                       "conv2", self.dtype)(out)
+        out = nn.relu(_bn(train, "bn2", self.dtype)(out))
+        out = _conv(self.planes * self.expansion, 1, name="conv3",
+                    dtype=self.dtype)(out)
+        out = _bn(train, "bn3", self.dtype)(out)
         out_ch = self.planes * self.expansion
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = _conv(out_ch, 1, self.stride,
-                             name="downsample_conv")(x)
-            residual = _bn(train, "downsample_bn")(residual)
+                             name="downsample_conv", dtype=self.dtype)(x)
+            residual = _bn(train, "downsample_bn", self.dtype)(residual)
         return nn.relu(out + residual)
 
 
@@ -217,7 +228,7 @@ class MedicalNetResNet3D(nn.Module):
     stem_s2d: bool = True
     dilated: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
-    in_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -229,8 +240,8 @@ class MedicalNetResNet3D(nn.Module):
         if self.stem_s2d and x.shape[-1] == 1:
             x = SpaceToDepthStem(64, name="conv1")(x)
         else:
-            x = _conv(64, 7, stride=2, name="conv1")(x)
-        x = nn.relu(_bn(train, "bn1")(x))
+            x = _conv(64, 7, stride=2, name="conv1", dtype=self.dtype)(x)
+        x = nn.relu(_bn(train, "bn1", self.dtype)(x))
         x = _max_pool_stem(x)
 
         if self.dilated:  # (planes, stride, dilation) per Med3D resnet.py
@@ -242,6 +253,7 @@ class MedicalNetResNet3D(nn.Module):
                 x = block(planes=planes,
                           stride=stride if bi == 0 else 1,
                           dilation=dilation,
+                          dtype=self.dtype,
                           name=f"layer{li}_block{bi}")(x, train)
         return x
 

@@ -55,8 +55,9 @@ def test_backbone_s2b_matches_naive():
 
     orig = r3d._conv3x3
 
-    def naive(features, stride, dilation, s2b, name):
-        return orig(features, stride, dilation, False, name)
+    def naive(features, stride, dilation, s2b, name, *args, **kwargs):
+        return orig(features, stride, dilation, False, name,
+                    *args, **kwargs)
 
     r3d._conv3x3 = naive
     try:
