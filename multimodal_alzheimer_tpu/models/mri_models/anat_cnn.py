@@ -36,6 +36,7 @@ class AnatCNN(nn.Module):
     stem_s2d: bool = True   # numerically-exact fast stem (resnet3d.py)
     dilated: bool = True    # Med3D parity; False = fast strided mode
     remat: bool = False     # rematerialize blocks (larger batches)
+    fused_bn: bool = False  # Pallas BN kernels (single-chip fast path)
     dtype: jnp.dtype = jnp.float32
     input_key: str = "mri"
 
@@ -59,6 +60,7 @@ class AnatCNN(nn.Module):
                                   stem_s2d=self.stem_s2d,
                                   dilated=self.dilated,
                                   remat=self.remat,
+                                  fused_bn=self.fused_bn,
                                   dtype=self.dtype,
                                   name="backbone")(x, train)
         out = ClassifierHead3D(

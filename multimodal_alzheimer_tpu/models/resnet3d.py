@@ -99,10 +99,19 @@ class SpaceToBatchConv3D(nn.Module):
         return out[:, :D, :H, :W, :]
 
 
-def _bn(train: bool, name: str, dtype=jnp.float32):
+def _bn(train: bool, name: str, dtype=jnp.float32, fused: bool = False):
     # dtype: keep activations in the model's compute dtype (bf16 on TPU);
     # without it flax promotes to f32 at every BN, inserting casts around
     # each block boundary. Params/running stats stay f32 (param_dtype).
+    # fused: lane-packed Pallas BN kernels (ops/pallas_bn.py) — XLA's
+    # convert+reduce lowering of BN statistics/gradients costs ~30% of the
+    # ResNet-18 train step on v5e. Single-chip only (pallas_call does not
+    # partition under GSPMD); identical param/stat trees either way.
+    if fused:
+        from multimodal_alzheimer_tpu.ops.pallas_bn import FusedBatchNorm
+
+        return FusedBatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=dtype, name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
 
@@ -120,21 +129,22 @@ class BasicBlock3D(nn.Module):
     dilation: int = 1
     s2b: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         out = _conv3x3(self.planes, self.stride, self.dilation, self.s2b,
                        "conv1", self.dtype)(x)
-        out = _bn(train, "bn1", self.dtype)(out)
+        out = _bn(train, "bn1", self.dtype, self.fused_bn)(out)
         out = nn.relu(out)
         out = _conv3x3(self.planes, 1, self.dilation, self.s2b,
                        "conv2", self.dtype)(out)
-        out = _bn(train, "bn2", self.dtype)(out)
+        out = _bn(train, "bn2", self.dtype, self.fused_bn)(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = _conv(self.planes, 1, self.stride,
                              name="downsample_conv", dtype=self.dtype)(x)
-            residual = _bn(train, "downsample_bn", self.dtype)(residual)
+            residual = _bn(train, "downsample_bn", self.dtype, self.fused_bn)(residual)
         return nn.relu(out + residual)
 
 
@@ -145,23 +155,24 @@ class Bottleneck3D(nn.Module):
     expansion: int = 4
     s2b: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
-        out = nn.relu(_bn(train, "bn1", self.dtype)(out))
+        out = nn.relu(_bn(train, "bn1", self.dtype, self.fused_bn)(out))
         out = _conv3x3(self.planes, self.stride, self.dilation, self.s2b,
                        "conv2", self.dtype)(out)
-        out = nn.relu(_bn(train, "bn2", self.dtype)(out))
+        out = nn.relu(_bn(train, "bn2", self.dtype, self.fused_bn)(out))
         out = _conv(self.planes * self.expansion, 1, name="conv3",
                     dtype=self.dtype)(out)
-        out = _bn(train, "bn3", self.dtype)(out)
+        out = _bn(train, "bn3", self.dtype, self.fused_bn)(out)
         out_ch = self.planes * self.expansion
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = _conv(out_ch, 1, self.stride,
                              name="downsample_conv", dtype=self.dtype)(x)
-            residual = _bn(train, "downsample_bn", self.dtype)(residual)
+            residual = _bn(train, "downsample_bn", self.dtype, self.fused_bn)(residual)
         return nn.relu(out + residual)
 
 
@@ -228,6 +239,7 @@ class MedicalNetResNet3D(nn.Module):
     stem_s2d: bool = True
     dilated: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    fused_bn: bool = False  # Pallas BN kernels (single-chip fast path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -241,7 +253,7 @@ class MedicalNetResNet3D(nn.Module):
             x = SpaceToDepthStem(64, name="conv1")(x)
         else:
             x = _conv(64, 7, stride=2, name="conv1", dtype=self.dtype)(x)
-        x = nn.relu(_bn(train, "bn1", self.dtype)(x))
+        x = nn.relu(_bn(train, "bn1", self.dtype, self.fused_bn)(x))
         x = _max_pool_stem(x)
 
         if self.dilated:  # (planes, stride, dilation) per Med3D resnet.py
@@ -254,6 +266,7 @@ class MedicalNetResNet3D(nn.Module):
                           stride=stride if bi == 0 else 1,
                           dilation=dilation,
                           dtype=self.dtype,
+                          fused_bn=self.fused_bn,
                           name=f"layer{li}_block{bi}")(x, train)
         return x
 
