@@ -128,6 +128,65 @@ class TopKCheckpointManager:
         return self.entries[0][0] if self.entries else None
 
 
+def save_train_state(path: str | Path, state, hparams: dict,
+                     extra: Optional[dict] = None) -> None:
+    """Full mid-run checkpoint: params, batch stats, optimizer state, step
+    and lr_scale — resumable training (a capability the reference lacks;
+    its ModelCheckpoints only feed evaluation/fusion, SURVEY §5)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "lr_scale": state.lr_scale,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "train_state", _to_serializable(tree))
+    ckptr.wait_until_finished()
+    with open(path / "hparams.json", "w") as f:
+        json.dump(_jsonable(hparams), f, indent=2)
+    if extra:
+        with open(path / "extra.json", "w") as f:
+            json.dump(_jsonable(extra), f, indent=2)
+
+
+def load_train_state(path: str | Path, optimizer):
+    """Restore a TrainState saved by ``save_train_state``.
+
+    ``optimizer`` must be the same optax transformation used originally
+    (its state pytree structure defines the restored opt_state).
+    """
+    import orbax.checkpoint as ocp
+
+    from multimodal_alzheimer_tpu.train.state import TrainState
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(path / "train_state")
+    with open(path / "hparams.json") as f:
+        hparams = json.load(f)
+
+    import jax.numpy as jnp
+
+    # rebuild the typed opt_state from the optimizer's own init structure
+    template = optimizer.init(tree["params"])
+    flat_restored = jax.tree_util.tree_leaves(tree["opt_state"])
+    treedef = jax.tree_util.tree_structure(template)
+    opt_state = jax.tree_util.tree_unflatten(treedef, flat_restored)
+
+    state = TrainState(step=jnp.asarray(tree["step"]),
+                       params=tree["params"],
+                       batch_stats=tree.get("batch_stats") or {},
+                       opt_state=opt_state,
+                       lr_scale=jnp.asarray(tree["lr_scale"]))
+    return state, hparams
+
+
 def graft_params(target_variables: dict, grafts: dict[str, dict]) -> dict:
     """Load pretrained subtrees into a fusion model's parameter tree.
 

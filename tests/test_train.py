@@ -211,3 +211,39 @@ def test_graft_params():
     bad = {"params": {"cls": {"kernel": np.zeros((3, 3))}}}
     with pytest.raises(ValueError):
         graft_params(fusion_vars, {"pet_model": bad})
+
+
+def test_train_state_resume(tmp_path):
+    """Full resume: saved+restored state continues training identically."""
+    from multimodal_alzheimer_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    model = SmallPETCNN.from_hparams(HP)
+    criterion = make_criterion({"loss_class_weights": None})
+    optimizer = single_lr_optimizer(HP["lr"])
+    batch = _pet_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = TrainState.create(variables, optimizer)
+    step = make_train_step(model, criterion, optimizer)
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+
+    save_train_state(tmp_path / "resume", state, HP)
+    restored, hp = load_train_state(tmp_path / "resume", optimizer)
+    assert hp["lr"] == HP["lr"]
+    assert int(restored.step) == 3
+
+    # both continue identically for 2 more steps
+    s_a, s_b = state, restored
+    for _ in range(2):
+        s_a, aux_a = step(s_a, batch, rng)
+        s_b, aux_b = step(s_b, batch, rng)
+    np.testing.assert_allclose(float(aux_a["loss"]), float(aux_b["loss"]),
+                               rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(s_a.params),
+                      jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
