@@ -49,7 +49,8 @@ class MultiModalDataset:
                  normalize_pet: Optional[Dict[str, float]] = None,
                  normalize_mri: Optional[Dict[str, Any]] = None,
                  quantile: float = 0.99,
-                 compat_whole_brain_bug: bool = True):
+                 compat_whole_brain_bug: bool = True,
+                 cache_dir: Optional[str] = None):
         self.entire_ds = pd.read_csv(path)
 
         if binary_classification == 2:
@@ -102,6 +103,18 @@ class MultiModalDataset:
         self.normalize_mri = normalize_mri
         self.quantile = quantile
         self.compat_whole_brain_bug = compat_whole_brain_bug
+        # Optional decoded-volume cache (data/cache.py): first epoch pays
+        # the gzip decode, later epochs mmap raw arrays from page cache.
+        self._cache = None
+        if cache_dir is not None:
+            from multimodal_alzheimer_tpu.data.cache import VolumeCache
+
+            self._cache = VolumeCache(cache_dir)
+
+    def _load_volume(self, path):
+        if self._cache is not None:
+            return self._cache.get(path)
+        return native_io.decode(path)
 
     # ------------------------------------------------------------------ #
 
@@ -120,21 +133,21 @@ class MultiModalDataset:
 
         pet_path = sample.get("path_pet1451")
         if pet_path is not None:
-            pet = native_io.decode(pet_path)
+            pet = self._load_volume(pet_path)
             if self.transform_pet:
                 pet = self.transform_pet(pet)
             data["pet1451"] = np.asarray(pet, dtype=np.float32)
 
         mri_path = sample.get("path_anat")
         if mri_path is not None:
-            mri = native_io.decode(mri_path)
+            mri = self._load_volume(mri_path)
             if self.transform_mri:
                 mri = self.transform_mri(mri)
             data["mri"] = np.asarray(mri, dtype=np.float32)
             mask_path = sample.get("path_anat_mask")
             if (self.normalize_mri and "per_scan_norm" in self.normalize_mri
                     and mask_path is not None):
-                data["mri_mask"] = np.asarray(native_io.decode(mask_path),
+                data["mri_mask"] = np.asarray(self._load_volume(mask_path),
                                               dtype=np.float32)
 
         if sample.get("AGE") is not None:

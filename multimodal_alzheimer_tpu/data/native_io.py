@@ -49,6 +49,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.mmalz_nifti_decode.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64]
+            lib.mmalz_nifti_decode_auto.restype = ctypes.c_int64
+            lib.mmalz_nifti_decode_auto.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
             lib.mmalz_nifti_decode_batch.restype = ctypes.c_int
             lib.mmalz_nifti_decode_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -78,22 +82,38 @@ def nifti_shape(path: str) -> tuple:
     return tuple(int(dims[1 + i]) for i in range(ndim))
 
 
+_MAX_VOXELS = 1 << 26  # 64M voxels (256 MiB f32) upper bound per volume
+_guess_voxels = 91 * 109 * 91  # adapts to the dataset's volume size
+
+
 def decode(path: str) -> np.ndarray:
-    """Single-volume decode (native fast path, Python fallback)."""
+    """Single-volume decode: one read+inflate (native path), fallback to
+    the pure-Python reader."""
+    global _guess_voxels
     lib = _load()
     if lib is None:
         from multimodal_alzheimer_tpu.data.nifti import load_nifti
 
         return load_nifti(path)
-    shape = nifti_shape(path)
-    n = int(np.prod(shape))
-    out = np.empty(n, dtype=np.float32)
-    got = lib.mmalz_nifti_decode(
-        str(path).encode(), out.ctypes.data_as(
-            ctypes.POINTER(ctypes.c_float)), n)
-    if got != n:
-        raise IOError(f"mmalz_nifti_decode({path}) failed: {got}")
-    return out.reshape(shape, order="F")
+    capacity = _guess_voxels
+    for _ in range(2):
+        out = np.empty(capacity, dtype=np.float32)
+        dims = (ctypes.c_int64 * 8)()
+        got = lib.mmalz_nifti_decode_auto(
+            str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            capacity, dims)
+        if got == -3 and capacity < _MAX_VOXELS:  # buffer too small
+            capacity = _MAX_VOXELS
+            continue
+        break
+    if got < 0:
+        raise IOError(f"mmalz_nifti_decode_auto({path}) failed: {got}")
+    _guess_voxels = max(_guess_voxels, int(got))
+    shape = tuple(int(dims[1 + i]) for i in range(dims[0]))
+    if got == capacity:
+        return out.reshape(shape, order="F")
+    return out[:got].reshape(shape, order="F").copy()
 
 
 def decode_batch(paths: Sequence[str], shape: tuple,

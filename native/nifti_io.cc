@@ -160,6 +160,41 @@ int64_t mmalz_nifti_decode(const char* path, float* out, int64_t capacity) {
   return DecodeInto(path, out, capacity);
 }
 
+// Single-read decode: inflate once, return dims through dims_out[8]
+// (ndim, d0..d6) and voxel count (or -errno). Avoids the shape()+decode()
+// double inflate for gzipped files.
+int64_t mmalz_nifti_decode_auto(const char* path, float* out,
+                                int64_t capacity, int64_t* dims_out) {
+  std::vector<uint8_t> buf;
+  if (!ReadAll(path, &buf)) return -1;
+  NiftiHeader hdr;
+  if (!ParseHeader(buf.data(), buf.size(), &hdr)) return -2;
+  dims_out[0] = hdr.ndim;
+  for (int i = 0; i < 7; ++i) dims_out[i + 1] = hdr.dims[i];
+  int64_t n = 1;
+  for (int i = 0; i < hdr.ndim; ++i) n *= hdr.dims[i];
+  if (n > capacity) return -3;
+  const uint8_t* data = buf.data() + hdr.vox_offset;
+  size_t avail = buf.size() - hdr.vox_offset;
+  float slope = hdr.scl_slope;
+  float inter = hdr.scl_inter;
+  if (slope != slope) slope = 1.f;
+  if (inter != inter) inter = 0.f;
+  auto need = [&](size_t esz) { return avail >= esz * (size_t)n; };
+  switch (hdr.datatype) {
+    case 2:  if (!need(1)) return -4; CastCopy<uint8_t>(data, out, n, slope, inter); break;
+    case 4:  if (!need(2)) return -4; CastCopy<int16_t>(data, out, n, slope, inter); break;
+    case 8:  if (!need(4)) return -4; CastCopy<int32_t>(data, out, n, slope, inter); break;
+    case 16: if (!need(4)) return -4; CastCopy<float>(data, out, n, slope, inter); break;
+    case 64: if (!need(8)) return -4; CastCopy<double>(data, out, n, slope, inter); break;
+    case 256: if (!need(1)) return -4; CastCopy<int8_t>(data, out, n, slope, inter); break;
+    case 512: if (!need(2)) return -4; CastCopy<uint16_t>(data, out, n, slope, inter); break;
+    case 768: if (!need(4)) return -4; CastCopy<uint32_t>(data, out, n, slope, inter); break;
+    default: return -5;
+  }
+  return n;
+}
+
 // Decode n files concurrently; file i lands at out + i*stride (stride in
 // floats). Returns 0 on success, or -(index+1) of the first failed file.
 int mmalz_nifti_decode_batch(const char** paths, int n, float* out,

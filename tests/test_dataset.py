@@ -127,3 +127,18 @@ def test_device_preprocess_matches_host(split):
         host = ds.host_normalized_item(k)
         np.testing.assert_allclose(np.asarray(out["mri"][k]), host["mri"],
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_volume_cache(tmp_path, split):
+    ds_cold = MultiModalDataset(split["train"], modalities=["t1w"],
+                                cache_dir=str(tmp_path / "vc"))
+    item1 = ds_cold[0]
+    # second dataset instance hits the cache (mmap path)
+    ds_warm = MultiModalDataset(split["train"], modalities=["t1w"],
+                                cache_dir=str(tmp_path / "vc"))
+    item2 = ds_warm[0]
+    np.testing.assert_array_equal(item1["mri"], item2["mri"])
+    import os
+
+    entries = os.listdir(tmp_path / "vc")
+    assert any(e.endswith(".npy") for e in entries)
