@@ -15,7 +15,6 @@ Falls back to the pure-Python reader when the toolchain is unavailable
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

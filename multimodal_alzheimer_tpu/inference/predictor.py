@@ -10,10 +10,7 @@ by the fusion stages.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

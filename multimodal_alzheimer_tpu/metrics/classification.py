@@ -16,7 +16,6 @@ Conventions (torchmetrics-compatible):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 from multimodal_alzheimer_tpu.models.fusion_models.early_fusion import (
     PETMRIEarlyFusion,
 )
-from multimodal_alzheimer_tpu.train import hpo
 from multimodal_alzheimer_tpu.train.driver import (
     attach_class_weights,
     build_datasets,

@@ -16,7 +16,7 @@ Two reference quirks are reproduced behind flags:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -25,8 +25,6 @@ Layout is NDHWC (channels-last), the native TPU conv layout.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,6 @@ mode (same param/stat tree as flax ``nn.BatchNorm``).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

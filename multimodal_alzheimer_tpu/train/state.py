@@ -9,7 +9,6 @@ reference: pkg/models/base_model.py:60-85).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import flax.struct
