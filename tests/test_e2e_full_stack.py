@@ -144,3 +144,41 @@ def test_early_and_featuremap_fusion_train(workspace):
                   batchnorm_fusion=False)
     assert np.isfinite(
         train_anat_pet_featuremapfusion.train(fmf_hp, "fs_fmf"))
+
+
+def test_inference_mains_via_path_config(workspace):
+    """The test_<model>.py entry points resolve checkpoints through
+    path_config.yaml exactly like the reference's inference scripts
+    (reference: test_anat_pet_fusion.py:30-43, load_path_config.py)."""
+    import io
+    import yaml
+    from contextlib import redirect_stdout
+
+    # test_three_stage_pipeline ran first (same module fixture ordering)
+    config = {
+        "relative": {
+            "log_directory": "lightning_logs",
+            "test_set_csv": "data/test_path_data_labels.csv",
+            "train_set_csv": "data/train_path_data_labels.csv",
+            "val_set_csv": "data/val_path_data_labels.csv",
+        },
+        "pet_cnn_3_class": _ckpt("fs_pet"),
+        "tabular_mlp_3_class": _ckpt("fs_tab"),
+        "pet_tab_3_class": _ckpt("fs_pt"),
+    }
+    with open("path_config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    from multimodal_alzheimer_tpu.inference import (
+        test_pet_cnn,
+        test_tab,
+        test_pet_tab_fusion,
+    )
+
+    for main in (test_pet_cnn.main, test_tab.main,
+                 test_pet_tab_fusion.main):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main()
+        out = buf.getvalue()
+        assert "test_f1_epoch" in out, out[:400]
