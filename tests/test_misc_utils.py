@@ -94,3 +94,27 @@ def test_oom_guard():
         assert False
     except ValueError:
         pass
+
+
+def test_subject_leakage_check():
+    from multimodal_alzheimer_tpu.utils.plots_dataset import (
+        check_no_subject_leakage,
+    )
+
+    check_no_subject_leakage({"train": [1, 2], "val": [3], "test": [4]})
+    try:
+        check_no_subject_leakage({"train": [1, 2], "val": [2]})
+        assert False
+    except ValueError as e:
+        assert "leaks" in str(e)
+
+
+def test_label_distribution_frame():
+    from multimodal_alzheimer_tpu.utils.plots_dataset import (
+        label_distribution_frame,
+    )
+
+    frame = pd.DataFrame({"label": ["CN", "CN", "MCI"]})
+    out = label_distribution_frame({"train": frame})
+    assert set(out["label"]) == {"CN", "MCI"}
+    assert out.loc[out["label"] == "CN", "count"].iloc[0] == 2
