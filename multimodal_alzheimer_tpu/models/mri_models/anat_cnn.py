@@ -36,7 +36,7 @@ class AnatCNN(nn.Module):
     stem_s2d: bool = True   # numerically-exact fast stem (resnet3d.py)
     dilated: bool = True    # Med3D parity; False = fast strided mode
     remat: bool = False     # rematerialize blocks (larger batches)
-    fused_bn: bool = False  # Pallas BN kernels (single-chip fast path)
+    fused_bn: object = False  # False | "hybrid" | "full" (pallas_bn.py)
     dtype: jnp.dtype = jnp.float32
     input_key: str = "mri"
 

@@ -105,11 +105,16 @@ def _bn(train: bool, name: str, dtype=jnp.float32, fused: bool = False):
     # convert+reduce lowering of BN statistics/gradients costs ~30% of the
     # ResNet-18 train step on v5e. Single-chip only (pallas_call does not
     # partition under GSPMD); identical param/stat trees either way.
-    if fused:
+    if fused == "full" or fused is True:
         from multimodal_alzheimer_tpu.ops.pallas_bn import FusedBatchNorm
 
         return FusedBatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, dtype=dtype, name=name)
+    if fused == "hybrid":
+        from multimodal_alzheimer_tpu.ops.pallas_bn import HybridBatchNorm
+
+        return HybridBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=dtype, name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
 
@@ -127,7 +132,7 @@ class BasicBlock3D(nn.Module):
     dilation: int = 1
     s2b: bool = False
     dtype: jnp.dtype = jnp.float32
-    fused_bn: bool = False
+    fused_bn: object = False  # False | "hybrid" | "full"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -153,7 +158,7 @@ class Bottleneck3D(nn.Module):
     expansion: int = 4
     s2b: bool = False
     dtype: jnp.dtype = jnp.float32
-    fused_bn: bool = False
+    fused_bn: object = False  # False | "hybrid" | "full"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -237,7 +242,7 @@ class MedicalNetResNet3D(nn.Module):
     stem_s2d: bool = True
     dilated: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
-    fused_bn: bool = False  # Pallas BN kernels (single-chip fast path)
+    fused_bn: object = False  # False | "hybrid" | "full" (pallas_bn.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -309,3 +309,98 @@ class FusedBatchNorm(nn.Module):
             ra_var.value = (self.momentum * ra_var.value
                             + (1.0 - self.momentum) * var)
         return y
+
+
+# --------------------------------------------------------------------- #
+# Hybrid BN: Pallas for the statistics REDUCE only; the normalize/apply
+# stays in XLA so it keeps fusing into neighboring conv epilogues (the
+# failure mode of the fully-fused FusedBatchNorm above). The stats VJP is
+# closed-form elementwise (d mean = g/N; d var = 2(x-mean)g/N) which XLA
+# fuses into the existing BN backward chain, while the forward reduce runs
+# through the lane-packed kernel.
+#
+# MEASURED OUTCOME (v5e, ResNet-18 3D @ 91^3, batch 128): 273 vol/s vs
+# 320 vol/s with flax BN — still slower. Even the stats-only extraction
+# breaks XLA's fusion of the reduce with its producer; XLA's BN lowering
+# is already near-optimal here. Kept as a correctness-tested option; the
+# conclusion for this workload is: don't fight XLA's BN.
+# --------------------------------------------------------------------- #
+
+
+@jax.custom_vjp
+def lane_packed_stats(x2):
+    """(N, C) -> (mean, var) per channel, f32 (biased variance)."""
+    return _lane_packed_stats_impl(x2)
+
+
+def _lane_packed_stats_impl(x2):
+    n, c = x2.shape
+    geom = _pack_geometry(n, c)
+    assert geom is not None, (n, c)
+    rows, lanes, fold = geom
+    sums = _lane_stats(x2.reshape(rows, lanes), rows, lanes, fold, n)
+    total = _fold_lanes(sums[0], c, fold)
+    total_sq = _fold_lanes(sums[1], c, fold)
+    nf = jnp.float32(n)
+    mean = total / nf
+    var = total_sq / nf - mean * mean
+    return mean, var
+
+
+def _lps_fwd(x2):
+    mean, var = _lane_packed_stats_impl(x2)
+    return (mean, var), (x2, mean)
+
+
+def _lps_bwd(residuals, cotangents):
+    x2, mean = residuals
+    gmean, gvar = cotangents
+    n = jnp.float32(x2.shape[0])
+    # d mean/dx = 1/N; d var/dx = 2 (x - mean) / N  (biased variance)
+    dx = (gmean / n
+          + (2.0 / n) * gvar * (x2.astype(jnp.float32) - mean))
+    return (dx.astype(x2.dtype),)
+
+
+lane_packed_stats.defvjp(_lps_fwd, _lps_bwd)
+
+
+class HybridBatchNorm(nn.Module):
+    """nn.BatchNorm drop-in: Pallas lane-packed statistics reduce + XLA
+    apply (keeps conv-epilogue fusion). Same param/stat trees as flax."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (c,),
+                                jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (c,),
+                               jnp.float32)
+        x = x.astype(self.dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = 1
+            for s in x.shape[:-1]:
+                n *= s
+            mean, var = lane_packed_stats(x.reshape(n, c))
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum)
+                                 * jax.lax.stop_gradient(mean))
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum)
+                                * jax.lax.stop_gradient(var))
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = ((x - mean.astype(self.dtype))
+             * (inv * scale).astype(self.dtype) + bias.astype(self.dtype))
+        return y

@@ -98,3 +98,49 @@ def test_fused_bn_module_matches_flax():
     ye2 = theirs_eval.apply(v2, x)
     np.testing.assert_allclose(np.asarray(ye1), np.asarray(ye2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_bn_matches_flax():
+    """HybridBatchNorm (Pallas stats + XLA apply): fwd, stats and grads
+    must match flax nn.BatchNorm."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(4, 4, 4, 4, 64)).astype(np.float32)
+                    * 2 + 1)
+    gy = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    ours = pallas_bn.HybridBatchNorm(use_running_average=False)
+    theirs = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                          epsilon=1e-5)
+    v1 = ours.init(jax.random.PRNGKey(0), x)
+    v2 = theirs.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+
+    def loss(module, variables, x):
+        y, mut = module.apply(variables, x, mutable=["batch_stats"])
+        return jnp.sum(y * gy), (y, mut)
+
+    (l1, (y1, m1)), g1 = jax.value_and_grad(
+        lambda v, x: loss(ours, v, x), argnums=(0, 1), has_aux=True)(v1, x)
+    (l2, (y2, m2)), g2 = jax.value_and_grad(
+        lambda v, x: loss(theirs, v, x), argnums=(0, 1), has_aux=True)(v2, x)
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    # param grads (scale/bias) and input grads match
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=jax.tree_util.keystr(p))
+    # running stats updated identically
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(m1)[0],
+            jax.tree_util.tree_flatten_with_path(m2)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(p))
