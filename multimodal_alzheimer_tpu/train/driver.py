@@ -52,7 +52,8 @@ def build_datasets(hparams: dict, modalities, normalize_pet=None,
             normalize_mri=normalize_mri,
             quantile=quantile,
             binary_classification=binary,
-            days_threshold=hparams.get("days_threshold", 180))
+            days_threshold=hparams.get("days_threshold", 180),
+            cache_dir=hparams.get("volume_cache_dir"))
         for mode in modes)
 
 

@@ -81,7 +81,7 @@ def test_random_benchmark_all_cn():
     np.testing.assert_array_equal(preds, np.zeros(B))
 
 
-@pytest.mark.parametrize("depth,width", [(10, 512), (18, 512), (50, 2048)])
+@pytest.mark.parametrize("depth,width", [(10, 512), (18, 512), (34, 512), (50, 2048)])
 def test_anat_cnn_depths(depth, width):
     model = AnatCNN.from_hparams({
         "n_classes": 3, "resnet_depth": depth, "linear_out": (32,),
