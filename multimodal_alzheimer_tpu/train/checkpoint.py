@@ -138,10 +138,15 @@ def save_train_state(path: str | Path, state, hparams: dict,
     path = Path(path).absolute()
     if path.exists():
         shutil.rmtree(path)
+    import flax.serialization
+
     tree = {
         "params": state.params,
         "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
+        # state-dict form: name-keyed nested dicts, so restoration maps by
+        # PATH into the optimizer's typed state (leaf-order restoration
+        # would scramble multi_transform group states)
+        "opt_state": flax.serialization.to_state_dict(state.opt_state),
         "step": state.step,
         "lr_scale": state.lr_scale,
     }
@@ -171,13 +176,14 @@ def load_train_state(path: str | Path, optimizer):
     with open(path / "hparams.json") as f:
         hparams = json.load(f)
 
+    import flax.serialization
     import jax.numpy as jnp
 
-    # rebuild the typed opt_state from the optimizer's own init structure
+    # rebuild the typed opt_state from the optimizer's own init structure,
+    # mapping by state-dict path (robust for multi_transform group dicts)
     template = optimizer.init(tree["params"])
-    flat_restored = jax.tree_util.tree_leaves(tree["opt_state"])
-    treedef = jax.tree_util.tree_structure(template)
-    opt_state = jax.tree_util.tree_unflatten(treedef, flat_restored)
+    opt_state = flax.serialization.from_state_dict(template,
+                                                   tree["opt_state"])
 
     state = TrainState(step=jnp.asarray(tree["step"]),
                        params=tree["params"],

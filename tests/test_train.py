@@ -247,3 +247,39 @@ def test_train_state_resume(tmp_path):
     for la, lb in zip(jax.tree_util.tree_leaves(s_a.params),
                       jax.tree_util.tree_leaves(s_b.params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_state_resume_multi_transform(tmp_path):
+    """Resume with optax.multi_transform group states (path-mapped, not
+    leaf-order) — group moments must land in the right groups."""
+    from multimodal_alzheimer_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    model = SmallPETCNN.from_hparams(HP)
+    criterion = make_criterion({"loss_class_weights": None})
+    label_fn = head_pretrained_label_fn(("cls", "hidden"),
+                                        pretrained_lr=1e-5)
+    optimizer = build_optimizer({"head": 1e-2, "pretrained": 1e-5},
+                                label_fn, None, l2_reg=1e-3)
+    batch = _pet_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = TrainState.create(variables, optimizer)
+    step = make_train_step(model, criterion, optimizer)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+
+    save_train_state(tmp_path / "mt", state, HP)
+    restored, _ = load_train_state(tmp_path / "mt", optimizer)
+
+    s_a, s_b = state, restored
+    for _ in range(2):
+        s_a, aux_a = step(s_a, batch, rng)
+        s_b, aux_b = step(s_b, batch, rng)
+    np.testing.assert_allclose(float(aux_a["loss"]), float(aux_b["loss"]),
+                               rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(s_a.params),
+                      jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
