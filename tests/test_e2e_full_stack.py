@@ -182,3 +182,15 @@ def test_inference_mains_via_path_config(workspace):
             main()
         out = buf.getvalue()
         assert "test_f1_epoch" in out, out[:400]
+
+
+def test_pet_resnet_train_entry(workspace):
+    from multimodal_alzheimer_tpu.models.pet_models import (
+        train_pet_resnet_cnn,
+    )
+
+    hp = dict(BASE, n_classes=2, norm_mean=0.5145, norm_std=0.5383,
+              resnet_depth=10, conv_out=[], filter_size=[], linear_out=(),
+              batchnorm_begin=False, batchnorm_dense=False,
+              lr_pretrained=None)
+    assert np.isfinite(train_pet_resnet_cnn.train(hp, "fs_pet_resnet"))
