@@ -125,7 +125,129 @@ def measure_infer(batch_size: int, warmup: int = 3, iters: int = 10):
     return batch_size * iters / dt
 
 
+def _measure_generic(model, batch, criterion_weights, preprocess=None,
+                     warmup=3, iters=10):
+    import jax
+
+    from multimodal_alzheimer_tpu.losses import make_criterion
+    from multimodal_alzheimer_tpu.train import (
+        TrainState,
+        make_train_step,
+        single_lr_optimizer,
+    )
+
+    criterion = make_criterion({"loss_class_weights": criterion_weights})
+    optimizer = single_lr_optimizer(1e-3)
+    pbatch = preprocess(batch) if preprocess else batch
+    variables = model.init(jax.random.PRNGKey(0), pbatch, train=False)
+    state = TrainState.create(variables, optimizer)
+    step = make_train_step(model, criterion, optimizer, preprocess)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    n = batch["label"].shape[0]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    return n * iters / (time.perf_counter() - t0)
+
+
+def measure_all_configs():
+    """Train-step samples/sec for every BASELINE.json config (stderr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.models import (
+        AllModalitiesFusion,
+        AnatPETFusion,
+        SmallPETCNN,
+        TabularMLP,
+    )
+    from multimodal_alzheimer_tpu.ops.normalization import (
+        mri_per_scan_zscore,
+        normalize_pet,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def vols(b):
+        return jnp.asarray(rng.normal(0.5, 0.5, (b,) + VOLUME_SHAPE)
+                           .astype(np.float32))
+
+    def mri_batch(b):
+        return {
+            "mri": jnp.asarray(rng.normal(900, 400, (b,) + VOLUME_SHAPE)
+                               .astype(np.float32)),
+            "mri_mask": jnp.asarray(
+                (rng.random((b,) + VOLUME_SHAPE) > 0.35)
+                .astype(np.float32)),
+        }
+
+    def labels(b):
+        return jnp.asarray(rng.integers(0, 3, b), jnp.int32)
+
+    def pre_pet(batch):
+        out = dict(batch)
+        out["pet1451"] = normalize_pet(out["pet1451"], 0.5145, 0.5383)
+        return out
+
+    def pre_mri(batch):
+        out = dict(batch)
+        out["mri"] = jax.vmap(mri_per_scan_zscore)(out["mri"],
+                                                   out.pop("mri_mask"))
+        return out
+
+    def pre_both(batch):
+        return pre_mri(pre_pet(batch))
+
+    pet_hp = {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+              "filter_size": (5, 5, 3, 3), "linear_out": 64}
+    mri_hp = {"n_classes": 3, "resnet_depth": 18, "linear_out": ()}
+    tab_hp = {"n_classes": 3, "hidden": (256, 1024)}
+    w = [0.4, 0.3, 0.3]
+    results = {}
+
+    b = 4096
+    results["tabular_mlp"] = _measure_generic(
+        TabularMLP.from_hparams(tab_hp, dtype=jnp.bfloat16),
+        {"tabular": jnp.asarray(rng.normal(size=(b, 9))
+                                .astype(np.float32)),
+         "label": labels(b)}, w)
+
+    b = 128
+    results["pet_3d_cnn"] = _measure_generic(
+        SmallPETCNN.from_hparams(pet_hp, dtype=jnp.bfloat16),
+        {"pet1451": vols(b), "label": labels(b)}, w, pre_pet)
+
+    results["mri_resnet18"] = measure(128)
+
+    b = 64
+    results["pet_mri_late_fusion"] = _measure_generic(
+        AnatPETFusion.from_hparams({"n_classes": 3}, pet_hp, mri_hp,
+                                   dtype=jnp.bfloat16),
+        {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
+        w, pre_both)
+
+    b = 32
+    results["three_stage_full_fusion"] = _measure_generic(
+        AllModalitiesFusion.from_hparams(
+            {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
+            {"n_classes": 3}, pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16),
+        {"pet1451": vols(b), **mri_batch(b),
+         "tabular": jnp.asarray(rng.normal(size=(b, 9))
+                                .astype(np.float32)),
+         "label": labels(b)}, w, pre_both)
+    return results
+
+
 def main():
+    if "--all" in sys.argv:
+        for name, value in measure_all_configs().items():
+            print(f"{name}: {value:.1f} samples/s/chip (train)",
+                  file=sys.stderr)
+
     batch_size = 128  # measured sweet spot on v5e (sweep: 16..192)
     value = None
     while batch_size >= 2:

@@ -35,14 +35,17 @@ class AllModalitiesFusion(nn.Module):
                      anat_tab_hparams: dict, pet_tab_hparams: dict,
                      pet_hparams: dict, mri_hparams: dict,
                      tab_hparams: dict, **overrides) -> "AllModalitiesFusion":
+        sub = {}
+        if "dtype" in overrides:
+            sub["dtype"] = overrides["dtype"]
         kwargs = dict(
             n_classes=hparams["n_classes"],
             model_anat_pet=AnatPETFusion.from_hparams(
-                anat_pet_hparams, pet_hparams, mri_hparams),
+                anat_pet_hparams, pet_hparams, mri_hparams, **sub),
             model_anat_tab=TabularMRIFusion.from_hparams(
-                anat_tab_hparams, mri_hparams, tab_hparams),
+                anat_tab_hparams, mri_hparams, tab_hparams, **sub),
             model_pet_tab=PETTabularFusion.from_hparams(
-                pet_tab_hparams, pet_hparams, tab_hparams),
+                pet_tab_hparams, pet_hparams, tab_hparams, **sub),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

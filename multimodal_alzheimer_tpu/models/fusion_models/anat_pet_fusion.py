@@ -41,10 +41,13 @@ class AnatPETFusion(nn.Module):
     @classmethod
     def from_hparams(cls, hparams: dict, pet_hparams: dict,
                      mri_hparams: dict, **overrides) -> "AnatPETFusion":
+        sub = {}
+        if "dtype" in overrides:  # shared compute dtype for the sub-towers
+            sub["dtype"] = overrides["dtype"]
         kwargs = dict(
             n_classes=hparams["n_classes"],
-            pet_model=SmallPETCNN.from_hparams(pet_hparams),
-            mri_model=AnatCNN.from_hparams(mri_hparams),
+            pet_model=SmallPETCNN.from_hparams(pet_hparams, **sub),
+            mri_model=AnatCNN.from_hparams(mri_hparams, **sub),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

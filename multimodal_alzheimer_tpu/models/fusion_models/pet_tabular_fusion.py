@@ -30,10 +30,13 @@ class PETTabularFusion(nn.Module):
     @classmethod
     def from_hparams(cls, hparams: dict, pet_hparams: dict,
                      tab_hparams: dict, **overrides) -> "PETTabularFusion":
+        sub = {}
+        if "dtype" in overrides:
+            sub["dtype"] = overrides["dtype"]
         kwargs = dict(
             n_classes=hparams["n_classes"],
-            pet_model=SmallPETCNN.from_hparams(pet_hparams),
-            tab_model=TabularMLP.from_hparams(tab_hparams),
+            pet_model=SmallPETCNN.from_hparams(pet_hparams, **sub),
+            tab_model=TabularMLP.from_hparams(tab_hparams, **sub),
             simple_dim_red=bool(hparams.get("simple_dim_red", False)),
         )
         kwargs.update(overrides)

@@ -29,10 +29,13 @@ class TabularMRIFusion(nn.Module):
     @classmethod
     def from_hparams(cls, hparams: dict, mri_hparams: dict,
                      tab_hparams: dict, **overrides) -> "TabularMRIFusion":
+        sub = {}
+        if "dtype" in overrides:
+            sub["dtype"] = overrides["dtype"]
         kwargs = dict(
             n_classes=hparams["n_classes"],
-            mri_model=AnatCNN.from_hparams(mri_hparams),
-            tab_model=TabularMLP.from_hparams(tab_hparams),
+            mri_model=AnatCNN.from_hparams(mri_hparams, **sub),
+            tab_model=TabularMLP.from_hparams(tab_hparams, **sub),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
