@@ -173,14 +173,19 @@ class Trainer:
             step_rng, self.root_rng = jax.random.split(self.root_rng)
             state, aux = self.train_step(state, self._place(batch),
                                          step_rng)
-            # host copies: step outputs can carry different shardings
-            # (sharded full batches vs replicated ragged tails)
-            losses.append(float(aux["loss"]))
-            all_logits.append(np.asarray(aux["logits"]))
-            all_labels.append(np.asarray(aux["labels"]))
+            # keep device futures — converting here would force a sync
+            # every step and stall async dispatch behind the host
+            losses.append(aux["loss"])
+            all_logits.append(aux["logits"])
+            all_labels.append(aux["labels"])
             n_samples += int(aux["labels"].shape[0])
-        logits = jnp.asarray(np.concatenate(all_logits))
-        labels = jnp.asarray(np.concatenate(all_labels))
+        # one host sync per epoch (per-array np copies also tolerate the
+        # mixed shardings of sharded full batches vs replicated tails)
+        losses = [float(l) for l in losses]
+        logits = jnp.asarray(np.concatenate(
+            [np.asarray(x) for x in all_logits]))
+        labels = jnp.asarray(np.concatenate(
+            [np.asarray(x) for x in all_labels]))
         m = epoch_metrics(logits, labels, self.n_classes)
         scalars = {
             "train_loss_epoch": float(np.mean(losses)),
@@ -197,12 +202,15 @@ class Trainer:
         losses, sizes, all_logits, all_labels = [], [], [], []
         for batch in loader:
             aux = self.eval_step(variables, self._place(batch))
-            losses.append(float(aux["loss"]))
+            losses.append(aux["loss"])
             sizes.append(int(aux["labels"].shape[0]))
-            all_logits.append(np.asarray(aux["logits"]))
-            all_labels.append(np.asarray(aux["labels"]))
-        logits = jnp.asarray(np.concatenate(all_logits))
-        labels = jnp.asarray(np.concatenate(all_labels))
+            all_logits.append(aux["logits"])
+            all_labels.append(aux["labels"])
+        losses = [float(l) for l in losses]
+        logits = jnp.asarray(np.concatenate(
+            [np.asarray(x) for x in all_logits]))
+        labels = jnp.asarray(np.concatenate(
+            [np.asarray(x) for x in all_labels]))
         m = epoch_metrics(logits, labels, self.n_classes)
         # Lightning averages the per-batch losses (unweighted mean over
         # batches, base_model.py:113-115)
