@@ -163,25 +163,40 @@ def test_inference_mains_via_path_config(workspace):
             "val_set_csv": "data/val_path_data_labels.csv",
         },
         "pet_cnn_3_class": _ckpt("fs_pet"),
+        "mri_cnn_3_class": _ckpt("fs_mri"),
         "tabular_mlp_3_class": _ckpt("fs_tab"),
+        "pet_mri_3_class": _ckpt("fs_ap"),
+        "mri_tab_3_class": _ckpt("fs_at"),
         "pet_tab_3_class": _ckpt("fs_pt"),
+        "all_mod_3_class": _ckpt("fs_all"),
+        "early_fusion_same_norm_2_class": _ckpt("fs_ef"),
+        "featuremap_fusion_maxout_2_class": _ckpt("fs_fmf"),
     }
     with open("path_config.yaml", "w") as f:
         yaml.safe_dump(config, f)
 
     from multimodal_alzheimer_tpu.inference import (
+        test_all_mod_fusion,
+        test_anat_cnn,
+        test_anat_pet_fusion,
+        test_early_fusion_samenorm,
+        test_featuremap_fusion,
+        test_mri_tab_fusion,
         test_pet_cnn,
-        test_tab,
         test_pet_tab_fusion,
+        test_tab,
     )
 
-    for main in (test_pet_cnn.main, test_tab.main,
-                 test_pet_tab_fusion.main):
+    for main in (test_pet_cnn.main, test_anat_cnn.main, test_tab.main,
+                 test_anat_pet_fusion.main, test_mri_tab_fusion.main,
+                 test_pet_tab_fusion.main, test_all_mod_fusion.main,
+                 test_early_fusion_samenorm.main,
+                 test_featuremap_fusion.main):
         buf = io.StringIO()
         with redirect_stdout(buf):
             main()
         out = buf.getvalue()
-        assert "test_f1_epoch" in out, out[:400]
+        assert "test_f1_epoch" in out, (main.__module__, out[:400])
 
 
 def test_pet_resnet_train_entry(workspace):
