@@ -101,3 +101,47 @@ def test_count_modalities(tmp_path):
     census = count_modalities(root)
     assert len(census) == 2
     assert census["has_pet1451"].all() and census["has_anat"].all()
+
+
+def test_prepare_data_cli(tmp_path):
+    """tools/prepare_data.py end-to-end on a synthetic BIDS tree."""
+    import subprocess
+    import sys as _sys
+    from datetime import datetime as _dt
+
+    root = _make_bids(tmp_path / "bids")
+    (tmp_path / "bids").mkdir(exist_ok=True)
+    # minimal tables
+    pd.DataFrame({
+        "RID": ["sub-1001", "sub-1002"],
+        "EXAMDATE": ["01/03/2018", "10/05/2019"],
+        "Ventricles": [1.0, 2.0], "Hippocampus": [1.0, 2.0],
+        "WholeBrain": [1.0, 2.0], "Entorhinal": [1.0, 2.0],
+        "Fusiform": [1.0, 2.0], "MidTemp": [1.0, 2.0],
+        "ICV": [1.0, 2.0], "AGE": [70.0, 75.0],
+        "Years_bl": [1.0, 2.0], "PTEDUCAT": [16, 12],
+        "DX": ["CN", "Dementia"],
+    }).to_csv(tmp_path / "adni_merged.csv", index=False)
+    pd.DataFrame([
+        {"ID": "sub-1001", "ses": "ses-2018-03-01",
+         "pet.modality": "pet-AV1451", "DX": "CN"},
+    ]).to_csv(tmp_path / "tau.csv", index=False)
+    pd.DataFrame([
+        {"RID": 1001, "EXAMDATE": "2018-02-01", "DXCURREN": 2},
+    ]).to_csv(tmp_path / "diag.csv", index=False)
+
+    result = subprocess.run(
+        [_sys.executable, "tools/prepare_data.py",
+         "--adni-merged", str(tmp_path / "adni_merged.csv"),
+         "--bids-root", root,
+         "--tau-status", str(tmp_path / "tau.csv"),
+         "--diagnosis", str(tmp_path / "diag.csv"),
+         "--out-dir", str(tmp_path / "out"),
+         "--split-json", str(tmp_path / "split.json")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert result.returncode == 0, result.stderr[-800:]
+    import os as _os
+
+    for mode in ("train", "val", "test"):
+        assert _os.path.exists(
+            tmp_path / "out" / f"{mode}_path_data_labels.csv")
