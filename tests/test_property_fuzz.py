@@ -87,3 +87,42 @@ def test_profiler_trace_smoke(tmp_path):
         f(jnp.ones((64, 64))).block_until_ready()
     artifacts = glob.glob(str(tmp_path / "plugins" / "profile" / "*" / "*"))
     assert artifacts, "no profile artifacts written"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2 ** 16),
+    n=st.integers(2, 64),
+    c=st.integers(2, 5),
+    scale=st.floats(0.1, 20.0),
+    gamma=st.sampled_from([0.0, 1.0, 2.0, 5.0]),
+)
+def test_losses_fuzz_vs_torch(seed, n, c, scale, gamma):
+    import torch.nn.functional as F
+
+    from multimodal_alzheimer_tpu.losses import (
+        focal_loss,
+        weighted_cross_entropy,
+    )
+
+    rng = np.random.default_rng(seed)
+    logits = (rng.normal(size=(n, c)) * scale).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    weights = rng.uniform(0.1, 1.0, c).astype(np.float32)
+
+    ce_ref = torch.nn.CrossEntropyLoss(weight=torch.tensor(weights))(
+        torch.tensor(logits), torch.tensor(labels, dtype=torch.long))
+    ce_ours = weighted_cross_entropy(jnp.asarray(logits),
+                                     jnp.asarray(labels),
+                                     jnp.asarray(weights))
+    np.testing.assert_allclose(float(ce_ours), ce_ref.item(), rtol=1e-4,
+                               atol=1e-6)
+
+    t = torch.tensor(labels, dtype=torch.long).view(-1, 1)
+    logpt = F.log_softmax(torch.tensor(logits), dim=1).gather(1, t).view(-1)
+    pt = logpt.data.exp()
+    fl_ref = (-1 * (1 - pt) ** gamma * logpt).mean()
+    fl_ours = focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                         gamma=gamma)
+    np.testing.assert_allclose(float(fl_ours), fl_ref.item(), rtol=1e-4,
+                               atol=1e-6)
