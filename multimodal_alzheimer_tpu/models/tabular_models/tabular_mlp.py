@@ -34,6 +34,12 @@ class TabularMLP(nn.Module):
     feature_std: Sequence[float] | None = None
     dtype: jnp.dtype = jnp.float32
     input_key: str = "tabular"
+    # Migration escape hatch: when this key is present in the batch, its
+    # value is used as the 1024-d decoder embedding directly (the MLP trunk
+    # is skipped). Lets reference users feed TabPFN decoder activations
+    # computed offline (reference dl_approach.py:71-78) into converted
+    # stage-2/3 fusion checkpoints — exact logit parity on the fusion path.
+    embedding_key: str = "tabular_embedding"
 
     @classmethod
     def from_hparams(cls, hparams: dict, **overrides) -> "TabularMLP":
@@ -51,6 +57,13 @@ class TabularMLP(nn.Module):
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> dict:
+        if self.embedding_key and self.embedding_key in batch:
+            h = batch[self.embedding_key].astype(self.dtype)
+            embeddings = {"decoder": h}
+            logits = nn.Dense(self.n_classes, dtype=self.dtype,
+                              name="cls")(h)
+            return {"logits": logits.astype(jnp.float32),
+                    "embeddings": embeddings}
         x = batch[self.input_key].astype(self.dtype)
         if x.ndim == 3:  # tolerate the reference's unsqueeze(1)
             x = x[:, 0, :]

@@ -1,0 +1,475 @@
+"""Reference-checkpoint migration parity for every remaining model class.
+
+Completes the conversion matrix (VERDICT round-1 item 4): torch replicas of
+the reference's stage-2/3 fusion models, PET_CNN_ResNet, PET_MRI_EF and
+PET_MRI_FMF are built with the reference's exact module registration
+(attribute names, nn.Sequential surgery with preserved indices —
+anat_pet_fusion.py:16-51, all_modalities_fusion.py:16-57), their
+state_dicts converted with tools/convert_reference.py, and logits checked
+against the torch oracle.
+
+The TabPFN branch has no weight-level counterpart (documented divergence);
+its decoder activations enter both frameworks as a given 1024-d embedding
+(the reference extracts them via a forward hook, dl_approach.py:71-78; here
+via the 'tabular_embedding' batch key) — so the tabular-fusion parity below
+is exact on everything downstream of TabPFN.
+"""
+
+import sys
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/tools")
+
+from convert_reference import (
+    convert_all_modalities_fusion,
+    convert_anat_cnn,
+    convert_anat_pet_fusion,
+    convert_featuremap_fusion,
+    convert_pet_tabular_fusion,
+    convert_small_pet_cnn,
+    convert_tabular_mri_fusion,
+    merge_variables,
+)
+from multimodal_alzheimer_tpu.models import (
+    AllModalitiesFusion,
+    AnatPETFusion,
+    PETMRIEarlyFusion,
+    PETMRIFeatureMapFusion,
+    PETResNetCNN,
+    PETTabularFusion,
+    TabularMRIFusion,
+)
+from tests.test_weight_conversion import TorchMed3D
+
+VOL = (20, 24, 20)  # small MNI-like grid (D, H, W)
+
+
+# ---------------------------------------------------------------- replicas
+
+def _pet_sequential(hp, n_in=1):
+    """Reference Small_PET_CNN.model replica incl. dropout module indices
+    (pet_cnn.py:14-45)."""
+    mods = []
+    for c, k in zip(hp["conv_out"], hp["filter_size"]):
+        mods.append(nn.Conv3d(n_in, c, k, padding="same"))
+        if hp.get("batchnorm"):
+            mods.append(nn.BatchNorm3d(c))
+        mods += [nn.ReLU(), nn.MaxPool3d(2)]
+        if "dropout_conv_p" in hp:
+            mods.append(nn.Dropout(p=hp["dropout_conv_p"]))
+        n_in = c
+    mods += [nn.AdaptiveAvgPool3d(1), nn.Flatten()]
+    if "dropout_dense_p" in hp and hp.get("linear_out"):
+        mods.append(nn.Dropout(p=hp["dropout_dense_p"]))
+    if hp.get("linear_out"):
+        mods += [nn.Linear(n_in, hp["linear_out"]), nn.ReLU()]
+        n_in = hp["linear_out"]
+    mods.append(nn.Linear(n_in, hp["n_classes"]))
+    return nn.Sequential(*mods)
+
+
+def _conv_seg(hp, n_in=512):
+    """Reference conv_seg head replica (anat_cnn.py:33-79 /
+    pet_resnet_cnn.py:37-81)."""
+    mods = []
+    if hp.get("batchnorm_begin"):
+        mods.append(nn.BatchNorm3d(n_in))
+    for c, k in zip(hp.get("conv_out") or (), hp.get("filter_size") or ()):
+        mods.append(nn.Conv3d(n_in, c, k, padding="same"))
+        if hp.get("batchnorm_conv"):
+            mods.append(nn.BatchNorm3d(c))
+        mods += [nn.ReLU(), nn.MaxPool3d(2)]
+        n_in = c
+    mods += [nn.AdaptiveAvgPool3d(1), nn.Flatten()]
+    for n_out in hp.get("linear_out") or ():
+        mods.append(nn.Linear(n_in, n_out))
+        if hp.get("batchnorm_dense"):
+            mods.append(nn.BatchNorm1d(n_out))
+        mods.append(nn.ReLU())
+        n_in = n_out
+    mods += [nn.Linear(n_in, hp["n_classes"]), nn.ReLU()]
+    return nn.Sequential(*mods)
+
+
+class _TorchAnatCNN(nn.Module):
+    """Anat_CNN attribute layout: .model = backbone with .conv_seg."""
+
+    def __init__(self, hp):
+        super().__init__()
+        self.model = TorchMed3D((1, 1, 1, 1))
+        self.model.conv_seg = _conv_seg(hp)
+
+    def forward(self, x):
+        return self.model.conv_seg(self.model(x))
+
+
+class _TorchAnatPET(nn.Module):
+    """Anat_PET_CNN replica (anat_pet_fusion.py:16-78)."""
+
+    def __init__(self, hp, pet_hp, mri_hp):
+        super().__init__()
+        pet_full = _pet_sequential(pet_hp)
+        self.model_pet = (pet_full[:-3] if hp["n_classes"] == 2
+                          else pet_full[:-1])
+        self.model_mri = _TorchAnatCNN(mri_hp)
+        self.model_mri.model.conv_seg = self.model_mri.model.conv_seg[:2]
+        pet_dim = (pet_hp["conv_out"][-1] if hp["n_classes"] == 2
+                   else pet_hp["linear_out"])
+        self.stage2out = nn.Linear(pet_dim + 64, 64)
+        self.cls2 = nn.Linear(64, hp["n_classes"])
+        self.relu = nn.ReLU()
+        self.reduce_dim_mri = nn.Sequential(nn.Linear(512, 64), self.relu)
+        self.model_fuse = nn.Sequential(self.stage2out, self.relu, self.cls2)
+
+    def forward(self, x_pet, x_mri):
+        bs = x_mri.shape[0]
+        out_pet = self.model_pet(x_pet)
+        out_mri = self.model_mri.model.conv_seg(
+            self.model_mri.model(x_mri)).view(bs, -1)
+        out_mri = self.reduce_dim_mri(out_mri)
+        return self.model_fuse(torch.cat((out_pet, out_mri), dim=1))
+
+
+class _TorchTabularMRT(nn.Module):
+    """Tabular_MRT_Model replica with the TabPFN forward replaced by a
+    given decoder embedding (tabular_mri_fusion.py:12-80)."""
+
+    def __init__(self, hp, mri_hp):
+        super().__init__()
+        self.model_mri = _TorchAnatCNN(mri_hp)
+        self.model_mri.model.conv_seg = self.model_mri.model.conv_seg[:2]
+        self.stage2out = nn.Linear(512 + 512, 64)
+        self.cls2 = nn.Linear(64, hp["n_classes"])
+        self.relu = nn.ReLU()
+        self.reduce_tab = nn.Sequential(nn.Linear(1024, 512), self.relu)
+        self.model_fuse = nn.Sequential(self.stage2out, self.relu, self.cls2)
+
+    def forward(self, tab_emb, x_mri):
+        bs = x_mri.shape[0]
+        out_tab = self.reduce_tab(tab_emb)
+        out_mri = self.model_mri.model.conv_seg(
+            self.model_mri.model(x_mri)).view(bs, -1)
+        return self.model_fuse(torch.cat((out_tab, out_mri), dim=1))
+
+
+class _TorchPETTab(nn.Module):
+    """PET_TABULAR_CNN replica (pet_tabular_fusion.py:17-104)."""
+
+    def __init__(self, hp, pet_hp):
+        super().__init__()
+        pet_full = _pet_sequential(pet_hp)
+        self.model_pet = (pet_full[:-3] if hp["n_classes"] == 2
+                          else pet_full[:-1])
+        pet_dim = (pet_hp["conv_out"][-1] if hp["n_classes"] == 2
+                   else pet_hp["linear_out"])
+        self.stage2out = nn.Linear(pet_dim + 64, 64)
+        self.cls2 = nn.Linear(64, hp["n_classes"])
+        self.relu = nn.ReLU()
+        if hp.get("simple_dim_red"):
+            self.reduce_tab = nn.Sequential(
+                nn.Linear(1024, 512), self.relu, nn.Linear(512, 64),
+                self.relu)
+        else:
+            self.reduce_tab = nn.Sequential(nn.Linear(1024, 64), self.relu)
+        self.model_fuse = nn.Sequential(self.stage2out, self.relu, self.cls2)
+
+    def forward(self, x_pet, tab_emb):
+        out_pet = self.model_pet(x_pet)
+        out_tab = self.reduce_tab(tab_emb)
+        return self.model_fuse(torch.cat((out_pet, out_tab), dim=1))
+
+
+class _TorchAllMod(nn.Module):
+    """All_Modalities_Fusion replica (all_modalities_fusion.py:16-79)."""
+
+    def __init__(self, hp, ap, at, pt):
+        super().__init__()
+        self.model_anat_pet = ap
+        self.model_anat_tab = at
+        self.model_pet_tab = pt
+        self.model_anat_pet.model_fuse = self.model_anat_pet.model_fuse[:-2]
+        self.model_anat_tab.model_fuse = self.model_anat_tab.model_fuse[:-2]
+        self.model_pet_tab.model_fuse = self.model_pet_tab.model_fuse[:-2]
+        self.stage3out = nn.Linear(64 * 3, 64)
+        self.cls3 = nn.Linear(64, hp["n_classes"])
+        self.relu = nn.ReLU()
+        self.model_fuse = nn.Sequential(self.stage3out, self.relu, self.cls3)
+
+    def forward(self, x_pet, x_mri, tab_emb):
+        out_ap = self.model_anat_pet(x_pet, x_mri)
+        out_at = self.model_anat_tab(tab_emb, x_mri)
+        out_pt = self.model_pet_tab(x_pet, tab_emb)
+        return self.model_fuse(
+            torch.cat((out_ap, out_at, out_pt), dim=1))
+
+
+# ------------------------------------------------------------------ utils
+
+def _randomize_bn(model):
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (nn.BatchNorm3d, nn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+
+def _np_sd(model):
+    return {k: v.numpy() for k, v in model.state_dict().items()}
+
+
+def _apply(model, partial, batch):
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    merged = merge_variables(
+        variables, jax.tree_util.tree_map(jnp.asarray, partial))
+    out = model.apply(merged, batch, train=False)
+    return np.asarray(out["logits"])
+
+
+def _inputs(seed, n=2, with_tab=True):
+    rng = np.random.default_rng(seed)
+    batch = {
+        "pet1451": rng.normal(size=(n,) + VOL).astype(np.float32),
+        "mri": rng.normal(size=(n,) + VOL).astype(np.float32),
+    }
+    if with_tab:
+        batch["tabular_embedding"] = rng.normal(
+            size=(n, 1024)).astype(np.float32) * 0.3
+    return batch
+
+
+PET_HP_2 = {"n_classes": 2, "conv_out": (4, 8), "filter_size": (5, 3),
+            "batchnorm": True, "linear_out": 16}
+PET_HP_3 = {"n_classes": 3, "conv_out": (4, 8), "filter_size": (3, 3),
+            "batchnorm": False, "linear_out": 16,
+            "dropout_conv_p": 0.1, "dropout_dense_p": 0.3}
+MRI_HP = {"n_classes": 3, "resnet_depth": 10, "batchnorm_begin": True,
+          "linear_out": (32,)}
+MRI_HP_NOBN = {"n_classes": 2, "resnet_depth": 10,
+               "batchnorm_begin": False, "linear_out": (32,)}
+
+
+# ------------------------------------------------------------------ tests
+
+def test_pet_resnet_cnn_conversion_logit_parity():
+    """PET_CNN_ResNet incl. a conv head layer (pet_resnet_cnn.py:37-81)."""
+    hp = {"n_classes": 3, "resnet_depth": 10, "batchnorm_begin": True,
+          "conv_out": (16,), "filter_size": (3,), "batchnorm_conv": True,
+          "linear_out": (24,), "batchnorm_dense": False}
+    torch.manual_seed(0)
+    ref = _TorchAnatCNN(hp).eval()
+    _randomize_bn(ref)
+
+    batch = _inputs(1, with_tab=False)
+    with torch.no_grad():
+        expected = ref(torch.tensor(batch["pet1451"]).unsqueeze(1)).numpy()
+
+    variables = convert_anat_cnn(_np_sd(ref), hp)
+    model = PETResNetCNN.from_hparams(hp)
+    got = _apply(model, variables, {"pet1451": jnp.asarray(batch["pet1451"])})
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+    assert got.min() >= 0  # trailing-ReLU quirk preserved
+
+
+def test_early_fusion_conversion_logit_parity():
+    """PET_MRI_EF: 2-channel stack into the Small_PET_CNN recipe."""
+    hp = {"n_classes": 2, "conv_out": (4, 8), "filter_size": (5, 3),
+          "batchnorm": True, "linear_out": 16}
+    torch.manual_seed(1)
+    seq = _pet_sequential(hp, n_in=2).eval()
+    _randomize_bn(seq)
+
+    batch = _inputs(2, with_tab=False)
+    x = torch.stack([torch.tensor(batch["pet1451"]),
+                     torch.tensor(batch["mri"])], dim=1)
+    with torch.no_grad():
+        expected = seq(x).numpy()
+
+    sd = {f"model.{k}": v.numpy() for k, v in seq.state_dict().items()}
+    variables = convert_small_pet_cnn(sd, hp)
+    model = PETMRIEarlyFusion.from_hparams(hp)
+    got = _apply(model, variables,
+                 {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+def test_featuremap_fusion_conversion_logit_parity():
+    """PET_MRI_FMF, both fusion modes."""
+    for mode, seed in (("concatenate", 3), ("maxout", 4)):
+        hp = {"n_classes": 2, "fusion_mode": mode, "conv_out": (4, 8),
+              "filter_size": (5, 3), "batchnorm": True,
+              "n_layers_fusion": 1, "n_out_fusion": 12,
+              "filter_size_fusion": 3, "batchnorm_fusion": True}
+        torch.manual_seed(seed)
+
+        class _FMF(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.backbone_pet = _towers(hp)
+                self.backbone_mri = _towers(hp)
+                self.fuse_model = _fuse_tower(hp)
+
+            def forward(self, x_pet, x_mri):
+                out_pet = self.backbone_pet(x_pet)
+                out_mri = self.backbone_mri(x_mri)
+                if mode == "concatenate":
+                    fused = torch.cat((out_pet, out_mri), dim=1)
+                else:
+                    fused = torch.max(torch.stack((out_pet, out_mri)), 0)[0]
+                return self.fuse_model(fused)
+
+        def _towers(h):
+            mods, n_in = [], 1
+            for c, k in zip(h["conv_out"], h["filter_size"]):
+                mods.append(nn.Conv3d(n_in, c, k, padding="same"))
+                if h["batchnorm"]:
+                    mods.append(nn.BatchNorm3d(c))
+                mods += [nn.ReLU(), nn.MaxPool3d(2)]
+                n_in = c
+            return nn.Sequential(*mods)
+
+        def _fuse_tower(h):
+            n_in = (2 * h["conv_out"][-1] if mode == "concatenate"
+                    else h["conv_out"][-1])
+            mods = []
+            for _ in range(h["n_layers_fusion"]):
+                mods.append(nn.Conv3d(n_in, h["n_out_fusion"],
+                                      h["filter_size_fusion"],
+                                      padding="same"))
+                if h["batchnorm_fusion"]:
+                    mods.append(nn.BatchNorm3d(h["n_out_fusion"]))
+                mods += [nn.ReLU(), nn.MaxPool3d(2)]
+            mods += [nn.AdaptiveAvgPool3d(1), nn.Flatten(),
+                     nn.Linear(h["n_out_fusion"], 64), nn.ReLU(),
+                     nn.Linear(64, h["n_classes"])]
+            return nn.Sequential(*mods)
+
+        ref = _FMF().eval()
+        _randomize_bn(ref)
+        batch = _inputs(seed, with_tab=False)
+        with torch.no_grad():
+            expected = ref(torch.tensor(batch["pet1451"]).unsqueeze(1),
+                           torch.tensor(batch["mri"]).unsqueeze(1)).numpy()
+
+        variables = convert_featuremap_fusion(_np_sd(ref), hp)
+        model = PETMRIFeatureMapFusion.from_hparams(hp)
+        got = _apply(model, variables,
+                     {k: jnp.asarray(v) for k, v in batch.items()})
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4,
+                                   err_msg=mode)
+
+
+def test_anat_pet_fusion_conversion_logit_parity_2class():
+    """Stage-2 PET+MRI surgery chain, 2-class (GAP tap, model[:-3])."""
+    hp = {"n_classes": 2, "lr": 1e-3}
+    torch.manual_seed(5)
+    ref = _TorchAnatPET(hp, PET_HP_2, MRI_HP_NOBN).eval()
+    _randomize_bn(ref)
+
+    batch = _inputs(5, with_tab=False)
+    with torch.no_grad():
+        expected = ref(torch.tensor(batch["pet1451"]).unsqueeze(1),
+                       torch.tensor(batch["mri"]).unsqueeze(1)).numpy()
+
+    partial = convert_anat_pet_fusion(_np_sd(ref), hp, PET_HP_2, MRI_HP_NOBN)
+    model = AnatPETFusion.from_hparams(hp, PET_HP_2, MRI_HP_NOBN)
+    got = _apply(model, partial,
+                 {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+def test_anat_pet_fusion_conversion_logit_parity_3class():
+    """Stage-2 PET+MRI, 3-class (dense tap, model[:-1]) with dropout
+    indices and an MRI bn_begin head."""
+    hp = {"n_classes": 3, "lr": 1e-3}
+    torch.manual_seed(6)
+    ref = _TorchAnatPET(hp, PET_HP_3, MRI_HP).eval()
+    _randomize_bn(ref)
+
+    batch = _inputs(6, with_tab=False)
+    with torch.no_grad():
+        expected = ref(torch.tensor(batch["pet1451"]).unsqueeze(1),
+                       torch.tensor(batch["mri"]).unsqueeze(1)).numpy()
+
+    partial = convert_anat_pet_fusion(_np_sd(ref), hp, PET_HP_3, MRI_HP)
+    model = AnatPETFusion.from_hparams(hp, PET_HP_3, MRI_HP)
+    got = _apply(model, partial,
+                 {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+def test_tabular_mri_fusion_conversion_logit_parity():
+    """Stage-2 MRI+tabular: exact parity downstream of the TabPFN hook."""
+    hp = {"n_classes": 3, "lr": 1e-3}
+    torch.manual_seed(7)
+    ref = _TorchTabularMRT(hp, MRI_HP).eval()
+    _randomize_bn(ref)
+
+    batch = _inputs(7)
+    with torch.no_grad():
+        expected = ref(torch.tensor(batch["tabular_embedding"]),
+                       torch.tensor(batch["mri"]).unsqueeze(1)).numpy()
+
+    partial = convert_tabular_mri_fusion(_np_sd(ref), hp, MRI_HP)
+    tab_hp = {"n_classes": 3}
+    model = TabularMRIFusion.from_hparams(hp, MRI_HP, tab_hp)
+    got = _apply(model, partial,
+                 {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+def test_pet_tabular_fusion_conversion_logit_parity():
+    """Stage-2 PET+tabular, both reduce_tab variants."""
+    for simple, seed in ((True, 8), (False, 9)):
+        hp = {"n_classes": 2, "simple_dim_red": simple, "lr": 1e-3}
+        torch.manual_seed(seed)
+        ref = _TorchPETTab(hp, PET_HP_2).eval()
+        _randomize_bn(ref)
+
+        batch = _inputs(seed)
+        with torch.no_grad():
+            expected = ref(torch.tensor(batch["pet1451"]).unsqueeze(1),
+                           torch.tensor(batch["tabular_embedding"])).numpy()
+
+        partial = convert_pet_tabular_fusion(_np_sd(ref), hp, PET_HP_2)
+        model = PETTabularFusion.from_hparams(hp, PET_HP_2,
+                                              {"n_classes": 2})
+        got = _apply(model, partial,
+                     {k: jnp.asarray(v) for k, v in batch.items()})
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4,
+                                   err_msg=f"simple_dim_red={simple}")
+
+
+def test_all_modalities_fusion_conversion_logit_parity():
+    """Stage-3: full two-level surgery chain (all_modalities_fusion.py)."""
+    hp = {"n_classes": 3, "lr": 1e-3}
+    ap_hp = {"n_classes": 3, "lr": 1e-3}
+    at_hp = {"n_classes": 3, "lr": 1e-3}
+    pt_hp = {"n_classes": 3, "simple_dim_red": False, "lr": 1e-3}
+    torch.manual_seed(10)
+    ref = _TorchAllMod(
+        hp,
+        _TorchAnatPET(ap_hp, PET_HP_3, MRI_HP),
+        _TorchTabularMRT(at_hp, MRI_HP),
+        _TorchPETTab(pt_hp, PET_HP_3),
+    ).eval()
+    _randomize_bn(ref)
+
+    batch = _inputs(10)
+    with torch.no_grad():
+        expected = ref(torch.tensor(batch["pet1451"]).unsqueeze(1),
+                       torch.tensor(batch["mri"]).unsqueeze(1),
+                       torch.tensor(batch["tabular_embedding"])).numpy()
+
+    partial = convert_all_modalities_fusion(
+        _np_sd(ref), hp, ap_hp, at_hp, pt_hp, PET_HP_3, MRI_HP)
+    model = AllModalitiesFusion.from_hparams(
+        hp, ap_hp, at_hp, pt_hp, PET_HP_3, MRI_HP, {"n_classes": 3})
+    got = _apply(model, partial,
+                 {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=3e-4)
