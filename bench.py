@@ -6,12 +6,25 @@ MNI-2mm volume shape 91x109x91 — including the on-device per-scan
 normalization, forward, loss, backward and Adam update, in bfloat16
 compute / float32 params.
 
-Baseline context: the reference is a single-GPU PyTorch pipeline with no
-published throughput numbers (BASELINE.json "published": {}). The
-north-star target is >=5x H100 volumes/sec/chip; we use an estimated H100
-fp32 train throughput for this model/shape of 50 volumes/s, making the
-target 250 volumes/s/chip. ``vs_baseline`` reports value/250 (i.e. >=1.0
-means the 5x-H100 north star is met).
+Baseline methodology (reproducible — no invented GPU constants): the
+reference is a single-GPU PyTorch pipeline with no published throughput
+numbers (BASELINE.json "published": {}), so there is no measured baseline
+to divide by. ``vs_baseline`` therefore reports the **measured model FLOPs
+utilization (MFU)**:
+
+    vs_baseline = value [vol/s] x FLOPs_per_volume / chip_peak_FLOPs
+
+where FLOPs_per_volume comes from the compiled step's own
+``cost_analysis()`` (fwd + bwd + Adam + on-device preprocessing; printed
+to stderr) and chip_peak_FLOPs from the device kind (TPU v5e: 197 TFLOP/s
+bf16). Every term is measured or a public hardware spec; a reader can
+recompute it from the stderr lines. H100 roofline context (the arithmetic
+BASELINE.md's north star discussion uses): at the same per-volume FLOPs F,
+an H100 SXM is bounded by 989 TFLOP/s (bf16 dense) / F at 100% MFU —
+e.g. F = 271 GFLOP -> <= 3653 vol/s ceiling, or ~1650 vol/s at a generous
+45% MFU. Per-chip peak ratio v5e:H100 is 197:989, so "per-chip speedup"
+claims degenerate to an MFU comparison — which is exactly what
+vs_baseline now reports for this chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,7 +37,15 @@ import time
 
 import numpy as np
 
-TARGET_VOLUMES_PER_S = 250.0  # 5x estimated H100 (~50 vol/s) north star
+# bf16 dense peak FLOP/s by jax device_kind (public chip specs).
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v3": 123e12,
+}
+DEFAULT_PEAK = 197e12
 VOLUME_SHAPE = (91, 109, 91)
 
 
@@ -70,6 +91,14 @@ def build_step(batch_size: int, dtype_name: str = "bfloat16"):
     step = make_train_step(model, criterion, optimizer, preprocess)
     dropout_rng = jax.random.PRNGKey(1)
     return step, state, batch, dropout_rng
+
+
+def step_flops(batch_size: int) -> float:
+    """Per-volume FLOPs of the compiled train step (XLA cost_analysis)."""
+    step, state, batch, rng = build_step(batch_size)
+    ca = step.lower(state, batch, rng).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca["flops"]) / batch_size
 
 
 def measure(batch_size: int, warmup: int = 3, iters: int = 10):
@@ -272,18 +301,42 @@ def main():
         print(f"infer bench failed: {e}", file=sys.stderr)
 
     n_chips = 1
+    peak = DEFAULT_PEAK
     try:
         import jax
 
-        n_chips = max(1, len(jax.devices()))
+        devices = jax.devices()
+        n_chips = max(1, len(devices))
+        peak = PEAK_FLOPS.get(devices[0].device_kind, DEFAULT_PEAK)
+        print(f"device: {devices[0].device_kind} "
+              f"(peak {peak / 1e12:.0f} TFLOP/s bf16)", file=sys.stderr)
     except Exception:
         pass
     per_chip = value / n_chips
+
+    # Measured MFU: every term below is printed so vs_baseline is
+    # recomputable by a reader (see module docstring).
+    try:
+        flops_per_vol = step_flops(batch_size)
+    except Exception as e:
+        print(f"cost_analysis unavailable ({e}); assuming 270.7 GFLOP/vol "
+              "(v5e-measured value for this model)", file=sys.stderr)
+        flops_per_vol = 270.7e9
+    achieved = per_chip * flops_per_vol
+    mfu = achieved / peak
+    print(f"train step: {flops_per_vol / 1e9:.1f} GFLOP/volume "
+          f"-> {achieved / 1e12:.1f} TFLOP/s achieved, MFU {mfu:.3f}",
+          file=sys.stderr)
+    print(f"H100 context: 989 TFLOP/s bf16 / {flops_per_vol / 1e9:.1f} "
+          f"GFLOP = {989e12 / flops_per_vol:.0f} vol/s ceiling (100% MFU); "
+          f"{0.45 * 989e12 / flops_per_vol:.0f} vol/s at 45% MFU",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "mri3d_resnet18_train_volumes_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "volumes/s/chip",
-        "vs_baseline": round(per_chip / TARGET_VOLUMES_PER_S, 4),
+        "vs_baseline": round(mfu, 4),  # measured MFU (see docstring)
     }))
 
 
