@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 def max_pool3d(x: jnp.ndarray, window: int = 2,
                stride: Optional[int] = None) -> jnp.ndarray:
+    # XLA's SelectAndScatter backward measured faster end-to-end than the
+    # scatter-free custom VJP in ops/maxpool.py (see resnet3d._max_pool_stem
+    # note); the custom VJP remains available + parity-tested.
     stride = stride or window
     return nn.max_pool(x, (window,) * 3, strides=(stride,) * 3,
                        padding="VALID")
