@@ -31,11 +31,35 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache, keyed on the host CPU's ISA fingerprint
+# (XLA:CPU AOT entries crash when loaded on a different machine type; TPU
+# entries are host-agnostic but share the directory). Saves the 1-3 min
+# remote recompile of the 91^3 model on repeated runs.
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_flags = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:
+    _cpu_flags = ""
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# sitecustomize imports jax before this module body runs, so the env var
+# alone can be too late — set the already-live config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # bf16 dense peak FLOP/s by jax device_kind (public chip specs).
 PEAK_FLOPS = {
@@ -155,7 +179,7 @@ def measure_infer(batch_size: int, warmup: int = 3, iters: int = 10):
 
 
 def _measure_generic(model, batch, criterion_weights, preprocess=None,
-                     warmup=3, iters=10):
+                     warmup=3, iters=10, optimizer=None):
     import jax
 
     from multimodal_alzheimer_tpu.losses import make_criterion
@@ -166,7 +190,8 @@ def _measure_generic(model, batch, criterion_weights, preprocess=None,
     )
 
     criterion = make_criterion({"loss_class_weights": criterion_weights})
-    optimizer = single_lr_optimizer(1e-3)
+    if optimizer is None:
+        optimizer = single_lr_optimizer(1e-3)
     pbatch = preprocess(batch) if preprocess else batch
     variables = model.init(jax.random.PRNGKey(0), pbatch, train=False)
     state = TrainState.create(variables, optimizer)
@@ -268,6 +293,33 @@ def measure_all_configs():
          "tabular": jnp.asarray(rng.normal(size=(b, 9))
                                 .astype(np.float32)),
          "label": labels(b)}, w, pre_both)
+
+    # Frozen-tower configs: the reference's *default* fusion regime
+    # (stage-1/2 at requires_grad=False unless lr_pretrained,
+    # anat_pet_fusion.py:34-40) — stop_gradient at the taps skips the
+    # tower backward; optimizer = the real grouped fusion optimizer.
+    from multimodal_alzheimer_tpu.train.driver import fusion_optimizer
+
+    hp_frozen = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None}
+    b = 128
+    results["pet_mri_late_fusion_frozen"] = _measure_generic(
+        AnatPETFusion.from_hparams(hp_frozen, pet_hp, mri_hp,
+                                   dtype=jnp.bfloat16),
+        {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
+        w, pre_both,
+        optimizer=fusion_optimizer(
+            hp_frozen, ("reduce_dim_mri", "stage2out", "cls2")))
+
+    b = 64
+    results["three_stage_full_fusion_frozen"] = _measure_generic(
+        AllModalitiesFusion.from_hparams(
+            hp_frozen, {"n_classes": 3}, {"n_classes": 3},
+            {"n_classes": 3}, pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16),
+        {"pet1451": vols(b), **mri_batch(b),
+         "tabular": jnp.asarray(rng.normal(size=(b, 9))
+                                .astype(np.float32)),
+         "label": labels(b)}, w, pre_both,
+        optimizer=fusion_optimizer(hp_frozen, ("stage3out", "cls3")))
     return results
 
 

@@ -16,7 +16,9 @@ all_modalities_fusion.py:29-31).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from multimodal_alzheimer_tpu.models.mri_models.anat_cnn import AnatCNN
 from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import SmallPETCNN
@@ -36,6 +38,7 @@ class AnatPETFusion(nn.Module):
     n_classes: int
     pet_model: SmallPETCNN
     mri_model: AnatCNN
+    freeze_towers: bool = False  # stop_gradient at the stage-1 taps
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -44,11 +47,19 @@ class AnatPETFusion(nn.Module):
         sub = {}
         if "dtype" in overrides:  # shared compute dtype for the sub-towers
             sub["dtype"] = overrides["dtype"]
+        # Freezing of everything below this fusion is decided by THIS
+        # stage's lr_pretrained (reference anat_pet_fusion.py:34-40) —
+        # the stage-1 hparams' own lr_pretrained keys are not consulted,
+        # so the MRI tower's derived freeze_backbone is forced off and
+        # control lives solely at this model's taps.
         kwargs = dict(
             n_classes=hparams["n_classes"],
             pet_model=SmallPETCNN.from_hparams(pet_hparams, **sub),
-            mri_model=AnatCNN.from_hparams(mri_hparams, **sub),
+            mri_model=AnatCNN.from_hparams(mri_hparams, freeze_backbone=False,
+                                           **sub),
         )
+        if "lr_pretrained" in hparams:
+            kwargs["freeze_towers"] = not hparams["lr_pretrained"]
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -56,6 +67,12 @@ class AnatPETFusion(nn.Module):
     def __call__(self, batch: dict, train: bool = False) -> dict:
         pet_out = self.pet_model(batch, train)
         mri_out = self.mri_model(batch, train)
+        if self.freeze_towers:
+            # torch requires_grad=False parity: identical (zero) updates to
+            # optimizer-side freezing, but no backward through the towers.
+            # BN batch_stats in the towers still update in train mode.
+            pet_out = jax.tree.map(lax.stop_gradient, pet_out)
+            mri_out = jax.tree.map(lax.stop_gradient, mri_out)
         out_pet = _pet_tap(pet_out, self.n_classes)
         out_mri = mri_out["embeddings"]["backbone_gap"]
 

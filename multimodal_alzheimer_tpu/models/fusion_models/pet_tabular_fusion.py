@@ -13,7 +13,9 @@ tap is the pre-ReLU fused 64-d vector.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from multimodal_alzheimer_tpu.models.fusion_models.anat_pet_fusion import _pet_tap
 from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import SmallPETCNN
@@ -25,6 +27,7 @@ class PETTabularFusion(nn.Module):
     pet_model: SmallPETCNN
     tab_model: TabularMLP
     simple_dim_red: bool = False
+    freeze_towers: bool = False  # stop_gradient at the stage-1 taps
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -39,6 +42,8 @@ class PETTabularFusion(nn.Module):
             tab_model=TabularMLP.from_hparams(tab_hparams, **sub),
             simple_dim_red=bool(hparams.get("simple_dim_red", False)),
         )
+        if "lr_pretrained" in hparams:
+            kwargs["freeze_towers"] = not hparams["lr_pretrained"]
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -46,6 +51,10 @@ class PETTabularFusion(nn.Module):
     def __call__(self, batch: dict, train: bool = False) -> dict:
         pet_out = self.pet_model(batch, train)
         tab_out = self.tab_model(batch, train)
+        if self.freeze_towers:
+            # torch requires_grad=False parity; see tabular_mri_fusion.py.
+            pet_out = jax.tree.map(lax.stop_gradient, pet_out)
+            tab_out = jax.tree.map(lax.stop_gradient, tab_out)
         out_pet = _pet_tap(pet_out, self.n_classes)
         emb_tab = tab_out["embeddings"]["decoder"]
 

@@ -14,7 +14,9 @@ from the optimizer unless ``lr_pretrained``) reproduced.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from multimodal_alzheimer_tpu.models.mri_models.anat_cnn import AnatCNN
 from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import TabularMLP
@@ -24,6 +26,7 @@ class TabularMRIFusion(nn.Module):
     n_classes: int
     mri_model: AnatCNN
     tab_model: TabularMLP
+    freeze_towers: bool = False  # stop_gradient at the stage-1 taps
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -34,9 +37,12 @@ class TabularMRIFusion(nn.Module):
             sub["dtype"] = overrides["dtype"]
         kwargs = dict(
             n_classes=hparams["n_classes"],
-            mri_model=AnatCNN.from_hparams(mri_hparams, **sub),
+            mri_model=AnatCNN.from_hparams(mri_hparams, freeze_backbone=False,
+                                           **sub),
             tab_model=TabularMLP.from_hparams(tab_hparams, **sub),
         )
+        if "lr_pretrained" in hparams:
+            kwargs["freeze_towers"] = not hparams["lr_pretrained"]
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -44,6 +50,13 @@ class TabularMRIFusion(nn.Module):
     def __call__(self, batch: dict, train: bool = False) -> dict:
         mri_out = self.mri_model(batch, train)
         tab_out = self.tab_model(batch, train)
+        if self.freeze_towers:
+            # torch requires_grad=False parity (zero updates either way);
+            # skips the tower backward entirely. The tab branch's
+            # requires_Grad-typo semantics are unchanged: excluded from
+            # the optimizer, zero update, stats still tracked.
+            mri_out = jax.tree.map(lax.stop_gradient, mri_out)
+            tab_out = jax.tree.map(lax.stop_gradient, tab_out)
         emb_tab = tab_out["embeddings"]["decoder"]
         out_mri = mri_out["embeddings"]["backbone_gap"]
 

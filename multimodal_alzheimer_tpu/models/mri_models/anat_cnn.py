@@ -15,6 +15,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
 from multimodal_alzheimer_tpu.models.resnet3d import (
@@ -33,6 +34,7 @@ class AnatCNN(nn.Module):
     batchnorm_conv: bool = False
     batchnorm_dense: bool = False
     trailing_relu: bool = True
+    freeze_backbone: bool = False  # stop_gradient below the head (see below)
     stem_s2d: bool = True   # numerically-exact fast stem (resnet3d.py)
     dilated: bool = True    # Med3D parity; False = fast strided mode
     remat: bool = False     # rematerialize blocks (larger batches)
@@ -47,6 +49,13 @@ class AnatCNN(nn.Module):
         if kwargs["resnet_depth"] not in FEATURE_WIDTH:
             raise ValueError(
                 "hparams['resnet_depth'] is not in [10, 18, 34, 50]")
+        # The reference freezes the backbone when ``lr_pretrained`` is None
+        # (anat_cnn.py:111-126: requires_grad=False => torch never runs the
+        # backbone backward). Derive that only when the key is explicitly
+        # present — entry-point hparams always carry it, while tests/bench
+        # building ad-hoc models keep full differentiability.
+        if "lr_pretrained" in hparams:
+            kwargs["freeze_backbone"] = not hparams["lr_pretrained"]
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -63,6 +72,13 @@ class AnatCNN(nn.Module):
                                   fused_bn=self.fused_bn,
                                   dtype=self.dtype,
                                   name="backbone")(x, train)
+        if self.freeze_backbone:
+            # Matches torch requires_grad=False semantics: parameter
+            # updates are identical to optimizer-side freezing (both are
+            # exactly zero), but the backbone dgrad/wgrad work is never
+            # emitted. BatchNorm batch_stats still update in train mode
+            # (a mutable-collection side effect, unaffected by AD).
+            fmap = lax.stop_gradient(fmap)
         out = ClassifierHead3D(
             n_classes=self.n_classes,
             conv_out=self.conv_out,
