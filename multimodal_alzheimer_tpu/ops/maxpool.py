@@ -64,6 +64,147 @@ def _fwd(x, window, strides, padding):
     return y, (x, y)
 
 
+def _space_to_depth(x, window, strides, padding):
+    """Space-to-depth the padded input so every window offset's strided
+    slice becomes a contiguous slice of one stride-parity plane.
+
+    Returns (xs, j_max, neg_inf): xs[b, j, p_idx, c] = x_pad[b, s*j + p, c]
+    with p_idx = (p_d * s_h + p_h) * s_w + p_w.
+    """
+    spatial = x.shape[1:4]
+    batch, channels = x.shape[0], x.shape[-1]
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else \
+        jnp.iinfo(x.dtype).min
+    padded = tuple(spatial[i] + padding[i][0] + padding[i][1]
+                   for i in range(3))
+    j_max = tuple(-(-padded[i] // strides[i]) for i in range(3))
+    x_pad = jnp.pad(
+        x,
+        ((0, 0),) + tuple(
+            (padding[i][0],
+             padding[i][1] + j_max[i] * strides[i] - padded[i])
+            for i in range(3)) + ((0, 0),),
+        constant_values=neg_inf)
+    xs = x_pad.reshape(
+        batch, j_max[0], strides[0], j_max[1], strides[1], j_max[2],
+        strides[2], channels)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        (batch,) + j_max + (strides[0] * strides[1] * strides[2],
+                            channels))
+    return xs, j_max, neg_inf
+
+
+def _offset_slice(xs, o, window, strides, out_spatial):
+    """Strided window slice for offset o as a contiguous xs slice."""
+    batch, channels = xs.shape[0], xs.shape[-1]
+    p = tuple(o[i] % strides[i] for i in range(3))
+    k = tuple((o[i] - p[i]) // strides[i] for i in range(3))
+    p_idx = (p[0] * strides[1] + p[1]) * strides[2] + p[2]
+    j_max = xs.shape[1:4]
+    # clip to the subgrid length: positions past j_max never exist
+    w_hi = tuple(min(out_spatial[i], j_max[i] - k[i]) for i in range(3))
+    s = lax.slice(
+        xs,
+        (0, k[0], k[1], k[2], p_idx, 0),
+        (batch, k[0] + w_hi[0], k[1] + w_hi[1], k[2] + w_hi[2],
+         p_idx + 1, channels))[..., 0, :]
+    return s, p, k, w_hi
+
+
+def _bwd_winner(window, strides, padding, residuals, g):
+    """Chain-free gradient assembly via a winner-offset map.
+
+    The claim-chain backward (``_bwd`` below) serializes 27 output-sized
+    ``already`` updates, which XLA materializes (measured 85 ms isolated).
+    This variant removes the chain: pass 1 computes, per output window, the
+    row-major-first offset attaining the max —
+
+        winner = min over offsets o of where(slice_o == y, lin(o), N_OFF)
+
+    an associative elementwise min-tree over independent comparisons that
+    XLA fuses into a single pass over the space-to-depth'd input. Tie
+    semantics are identical to SelectAndScatter/claim-chain by
+    construction: the smallest linear offset equal to the max wins. Pass 2
+    credits g where ``winner == lin(o)`` — 27 *independent* masked copies
+    accumulated into the s^3 stride-parity buffers (one input-sized buffer
+    total) and interleaved back, as in ``_bwd``.
+    """
+    x, y = residuals
+    spatial = x.shape[1:4]
+    out_spatial = y.shape[1:4]
+    batch, channels = x.shape[0], x.shape[-1]
+
+    xs, j_max, _ = _space_to_depth(x, window, strides, padding)
+
+    offsets = [(od, oh, ow)
+               for od in range(window[0])
+               for oh in range(window[1])
+               for ow in range(window[2])]
+    n_off = len(offsets)
+
+    # Pass 1: winner-offset map (int32 on-lane compares; fused by XLA).
+    winner = jnp.full(y.shape, n_off, jnp.int32)
+    for lin, o in enumerate(offsets):
+        s, _, k, w_hi = _offset_slice(xs, o, window, strides, out_spatial)
+        if w_hi != out_spatial:  # overhang: slice shorter than y; pad taps
+            s = jnp.pad(s, ((0, 0),) + tuple(
+                (0, out_spatial[i] - w_hi[i]) for i in range(3))
+                + ((0, 0),), constant_values=-jnp.inf
+                if jnp.issubdtype(s.dtype, jnp.floating)
+                else jnp.iinfo(s.dtype).min)
+        winner = jnp.minimum(winner, jnp.where(s == y, lin, n_off))
+
+    # Pass 2: independent per-offset credits into parity buffers.
+    zero = jnp.zeros((), g.dtype)
+    n_par = strides[0] * strides[1] * strides[2]
+    parity_acc = [None] * n_par
+    for lin, o in enumerate(offsets):
+        p = tuple(o[i] % strides[i] for i in range(3))
+        k = tuple((o[i] - p[i]) // strides[i] for i in range(3))
+        contrib = jnp.where(winner == lin, g, jnp.zeros_like(g))
+        w_hi = tuple(min(out_spatial[i], j_max[i] - k[i]) for i in range(3))
+        piece = lax.slice(contrib, (0, 0, 0, 0, 0),
+                          (batch,) + w_hi + (channels,))
+        cfg = ((0, 0, 0),) + tuple(
+            (k[i], j_max[i] - k[i] - w_hi[i], 0)
+            for i in range(3)) + ((0, 0, 0),)
+        piece = lax.pad(piece, zero, cfg)
+        idx = (p[0] * strides[1] + p[1]) * strides[2] + p[2]
+        parity_acc[idx] = piece if parity_acc[idx] is None \
+            else parity_acc[idx] + piece
+
+    for i, acc in enumerate(parity_acc):
+        if acc is None:
+            parity_acc[i] = jnp.zeros(
+                (batch,) + j_max + (channels,), g.dtype)
+
+    stacked = jnp.stack(parity_acc, axis=-2)
+    stacked = stacked.reshape(
+        (batch,) + j_max + tuple(strides) + (channels,))
+    dx_pad = stacked.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+        batch, j_max[0] * strides[0], j_max[1] * strides[1],
+        j_max[2] * strides[2], channels)
+    dx = lax.slice(
+        dx_pad,
+        (0, padding[0][0], padding[1][0], padding[2][0], 0),
+        (batch, padding[0][0] + spatial[0], padding[1][0] + spatial[1],
+         padding[2][0] + spatial[2], channels))
+    return (dx.astype(x.dtype),)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def max_pool3d_wf(x, window, strides, padding):
+    """Max pool with the chain-free winner-offset backward (``_bwd_winner``).
+
+    Same forward and tie semantics as ``max_pool3d_sf``; the backward
+    replaces the serialized claim chain with a fusable min-tree.
+    """
+    return _pool_forward(x, window, strides, padding)
+
+
+max_pool3d_wf.defvjp(_fwd, _bwd_winner)
+
+
 def _bwd(window, strides, padding, residuals, g):
     """Parity-decomposed gradient assembly.
 
