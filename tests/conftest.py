@@ -19,8 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache makes repeated test runs much faster.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Persistent compilation cache makes repeated test runs much faster. The
+# path is keyed on the host's CPU-flags hash: XLA:CPU AOT entries embed the
+# compiling machine's ISA features and SIGABRT when loaded on a different
+# host (observed live after a host change), so each host gets its own dir.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_flags = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:
+    _cpu_flags = ""
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # The machine's sitecustomize imports jax at interpreter start (with
