@@ -11,6 +11,7 @@ runs on-device (see MultiModalDataset.get_device_preprocess).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -39,7 +40,9 @@ class DataLoader:
       drop_last: drop the trailing partial batch (the reference uses
         drop_last=True for some fusion loaders, train_pet_tabular_fusion
         .py:166); also keeps shapes static for jit.
-      num_workers: decode threads.
+      num_workers: decode threads; None (default) = min(8, cpu_count).
+        Threads beyond the core count only help hide IO latency (gzip
+        inflate is CPU-bound), so the default follows the host.
       prefetch: max ready batches in flight.
       sharding: optional jax.sharding.Sharding applied at device_put.
       pad_last: when not dropping, zero-pad the trailing batch to full size
@@ -49,7 +52,7 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = False, num_workers: int = 8,
+                 drop_last: bool = False, num_workers: int | None = None,
                  prefetch: int = 2, seed: int = 0,
                  sharding=None, pad_last: bool = False,
                  device_put: bool = True):
@@ -57,6 +60,8 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        if num_workers is None:
+            num_workers = min(8, os.cpu_count() or 1)
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.sharding = sharding

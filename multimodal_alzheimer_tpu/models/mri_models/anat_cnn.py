@@ -39,6 +39,7 @@ class AnatCNN(nn.Module):
     dilated: bool = True    # Med3D parity; False = fast strided mode
     remat: bool = False     # rematerialize blocks (larger batches)
     fused_bn: object = False  # False | "hybrid" | "full" (pallas_bn.py)
+    maxpool_impl: str = "xla"  # "xla" | "sf" | "wf" (resnet3d.py stem pool)
     dtype: jnp.dtype = jnp.float32
     input_key: str = "mri"
 
@@ -70,6 +71,7 @@ class AnatCNN(nn.Module):
                                   dilated=self.dilated,
                                   remat=self.remat,
                                   fused_bn=self.fused_bn,
+                                  maxpool_impl=self.maxpool_impl,
                                   dtype=self.dtype,
                                   name="backbone")(x, train)
         if self.freeze_backbone:

@@ -179,17 +179,27 @@ class Bottleneck3D(nn.Module):
         return nn.relu(out + residual)
 
 
-def _max_pool_stem(x):
+def _max_pool_stem(x, impl: str = "xla"):
     """MaxPool3d(k=3, s=2, p=1), torch floor semantics via explicit pad.
 
-    Backward is XLA's SelectAndScatter (~18 ms/step at batch 128 on v5e).
-    The scatter-free custom VJP (ops/maxpool.py, parity-tested incl. tie
-    semantics) was measured SLOWER end-to-end — 282 vs 322 vol/s: its
-    27-offset claim chain + parity interleave cost ~46 ms (trace: two 6.5ms
-    copies, 6.3ms pad, 5ms selects) vs SelectAndScatter's 18 — so XLA's
-    lowering stays the default (same conclusion as the pallas_bn dead end:
-    don't fight a fused XLA op without a full hand kernel).
+    ``impl`` selects the backward (all bitwise-identical forward, parity-
+    tested tie semantics, tests/test_maxpool_vjp.py):
+      "xla": XLA's SelectAndScatter gradient (~18 ms/step at batch 128 on
+        v5e) — the default.
+      "sf": scatter-free claim-chain VJP (ops/maxpool.py). Measured SLOWER
+        end-to-end — 282 vs 322 vol/s: the serialized 27-offset chain +
+        parity interleave cost ~46 ms (trace: two 6.5ms copies, 6.3ms pad,
+        5ms selects).
+      "wf": chain-free winner-offset VJP — independent fusable compares
+        instead of the serialized chain. Measured 293 vol/s end-to-end
+        (vs 321): better than "sf" but still loses to SelectAndScatter.
     """
+    if impl == "sf":
+        from multimodal_alzheimer_tpu.ops.maxpool import max_pool3d_sf
+        return max_pool3d_sf(x, (3, 3, 3), (2, 2, 2), ((1, 1),) * 3)
+    if impl == "wf":
+        from multimodal_alzheimer_tpu.ops.maxpool import max_pool3d_wf
+        return max_pool3d_wf(x, (3, 3, 3), (2, 2, 2), ((1, 1),) * 3)
     return nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
                        padding=[(1, 1)] * 3)
 
@@ -252,6 +262,7 @@ class MedicalNetResNet3D(nn.Module):
     dilated: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     fused_bn: object = False  # False | "hybrid" | "full" (pallas_bn.py)
+    maxpool_impl: str = "xla"  # "xla" | "sf" | "wf" (see _max_pool_stem)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -266,7 +277,7 @@ class MedicalNetResNet3D(nn.Module):
         else:
             x = _conv(64, 7, stride=2, name="conv1", dtype=self.dtype)(x)
         x = nn.relu(_bn(train, "bn1", self.dtype, self.fused_bn)(x))
-        x = _max_pool_stem(x)
+        x = _max_pool_stem(x, self.maxpool_impl)
 
         if self.dilated:  # (planes, stride, dilation) per Med3D resnet.py
             specs = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]

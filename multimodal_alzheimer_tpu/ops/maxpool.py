@@ -198,6 +198,14 @@ def max_pool3d_wf(x, window, strides, padding):
 
     Same forward and tie semantics as ``max_pool3d_sf``; the backward
     replaces the serialized claim chain with a fusable min-tree.
+
+    MEASURED DEAD END as an XLA-level rewrite, like the claim chain (v5e,
+    ResNet-18 train step, batch 128, end-to-end): 293 vol/s vs
+    SelectAndScatter's 321 (claim chain: 282). Removing the serialization
+    recovered ~a third of the gap but XLA still materializes the
+    space-to-depth'd input and the 27 masked-credit buffers instead of
+    fusing the passes. Conclusion stands: only a hand Pallas backward
+    (single pass over the input) can beat XLA's SelectAndScatter here.
     """
     return _pool_forward(x, window, strides, padding)
 

@@ -203,3 +203,38 @@ def test_gradients_flow():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert total > 0
+
+
+@pytest.mark.parametrize("impl", ["sf", "wf"])
+def test_anat_cnn_maxpool_impl_parity(impl):
+    """maxpool_impl variants: identical forward, identical gradients.
+
+    The stem pool backwards (ops/maxpool.py) are parity-tested at op level
+    in tests/test_maxpool_vjp.py; this locks in the model-level wiring.
+    """
+    batch = _batch(keys=("mri",))
+    hp = {"n_classes": 3, "resnet_depth": 10}
+    ref = AnatCNN.from_hparams(hp)
+    alt = AnatCNN.from_hparams(hp, maxpool_impl=impl)
+    variables = ref.init(jax.random.PRNGKey(0), batch, train=False)
+
+    out_ref = ref.apply(variables, batch, train=False)
+    out_alt = alt.apply(variables, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(out_ref["logits"]),
+                                  np.asarray(out_alt["logits"]))
+
+    def loss(model):
+        def fn(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"])
+            return jnp.sum(out["logits"] ** 2)
+        return jax.grad(fn)(variables["params"])
+
+    g_ref, g_alt = loss(ref), loss(alt)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6),
+        g_ref, g_alt)
