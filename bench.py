@@ -48,9 +48,11 @@ try:
         _cpu_flags = next((ln for ln in _f if ln.startswith("flags")), "")
 except OSError:
     _cpu_flags = ""
+# "-axon" suffix: axon compiles run on a remote host; their cache must
+# stay apart from local-CPU caches (see tests/conftest.py).
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}")
+    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}-axon")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # sitecustomize imports jax before this module body runs, so the env var

@@ -30,9 +30,13 @@ try:
         _cpu_flags = next((ln for ln in _f if ln.startswith("flags")), "")
 except OSError:
     _cpu_flags = ""
+# The "-cpu" suffix keeps these entries apart from axon-session caches:
+# under the axon platform, compiles run on a REMOTE host whose XLA:CPU AOT
+# helper artifacts embed that machine's ISA — loading them locally
+# SIGABRTs. One cache dir per (host fingerprint, jax platform).
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}")
+    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}-cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # The machine's sitecustomize imports jax at interpreter start (with
