@@ -142,3 +142,43 @@ def test_volume_cache(tmp_path, split):
 
     entries = os.listdir(tmp_path / "vc")
     assert any(e.endswith(".npy") for e in entries)
+
+
+def test_loader_buffer_recycling_no_corruption():
+    """Recycled host buffers must never corrupt already-yielded batches.
+
+    The loader reuses batch buffers once their device transfer completes
+    (pipeline.py collate_into/free_q); every yielded device batch must
+    still equal a fresh collation of the same samples.
+    """
+    import numpy as np
+
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 11  # ragged tail: 3 full batches of 3 + one of 2
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(100 + i)
+            return {"x": rng.normal(size=(7, 5)).astype(np.float32),
+                    "label": np.int32(i)}
+
+    ds = _DS()
+    loader = DataLoader(ds, batch_size=3, shuffle=False, prefetch=1,
+                        num_workers=2, device_put=True)
+    seen = [{k: np.asarray(v).copy() for k, v in b.items()}
+            for b in loader]
+    assert len(seen) == 4
+    order = list(range(11))
+    for bi, batch in enumerate(seen):
+        idx = order[bi * 3:bi * 3 + 3]
+        np.testing.assert_array_equal(batch["label"], np.asarray(idx))
+        for j, i in enumerate(idx):
+            np.testing.assert_array_equal(
+                batch["x"][j], ds[i]["x"])
+    # second epoch reuses the adopted buffers; values must still be exact
+    seen2 = [{k: np.asarray(v).copy() for k, v in b.items()}
+             for b in loader]
+    for a, b in zip(seen, seen2):
+        np.testing.assert_array_equal(a["x"], b["x"])
