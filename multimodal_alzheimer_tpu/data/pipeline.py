@@ -78,8 +78,12 @@ class DataLoader:
     buffers are recycled once their transfer completes (at most
     ``prefetch`` device batches in flight beyond the one training on;
     raw f32 volumes are large, so size ``prefetch`` to HBM headroom).
-    Buffer recycling relies on ``jax.device_put`` copying (not aliasing)
-    numpy sources — verified on both the CPU and TPU backends.
+    Buffer recycling is alias-safe: TPU/remote transfers always copy, but
+    JAX's CPU backend zero-copy-aliases suitably-aligned numpy arrays
+    (observed live: alignment-dependent, so some batches alias and some
+    don't) — on CPU targets every leaf is checked with
+    ``np.shares_memory`` after the transfer and aliased buffers are
+    dropped from the pool instead of recycled.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
@@ -150,6 +154,24 @@ class DataLoader:
                     if self.sharding is not None
                     else jax.device_put(batch))
 
+        def recycle(bufs, dev):
+            """Return buffers to the pool; drop any the backend aliased.
+
+            jax's CPU backend zero-copies aligned numpy arrays into
+            device_put results — recycling such a buffer would mutate the
+            live batch. np.asarray on a CPU jax array is a zero-copy
+            view, so the shares_memory probe is pointer math, not a copy;
+            non-CPU backends never alias (data crossed to the device).
+            """
+            import jax
+
+            if jax.devices()[0].platform == "cpu":
+                for k in list(bufs):
+                    if k in dev and np.shares_memory(
+                            np.asarray(dev[k]), bufs[k]):
+                        del bufs[k]
+            free_q.put(bufs)
+
         def producer():
             import jax
 
@@ -163,8 +185,8 @@ class DataLoader:
                         continue
                     while len(pending) >= self.prefetch:
                         old_bufs, old_dev = pending.popleft()
-                        jax.block_until_ready(old_dev)  # buffer now free
-                        free_q.put(old_bufs)
+                        jax.block_until_ready(old_dev)  # transfer done
+                        recycle(old_bufs, old_dev)
                     bufs = free_q.get()
                     dev = to_device(self._load_batch(indices, pool, bufs))
                     pending.append((bufs, dev))

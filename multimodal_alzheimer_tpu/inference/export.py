@@ -9,10 +9,7 @@ shape-specialized to the given batch spec.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
-import numpy as np
 
 
 def export_model(model, variables: dict, example_batch: dict,

@@ -36,8 +36,6 @@ No reference counterpart: the reference is strictly single-GPU
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

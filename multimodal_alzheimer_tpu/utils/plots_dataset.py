@@ -25,7 +25,6 @@ def label_distribution_frame(manifests: dict) -> pd.DataFrame:
 def plot_label_distribution(manifests: dict, out_path: str | None = None):
     import matplotlib
     matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
 
     frame = label_distribution_frame(manifests)
     pivot = frame.pivot_table(index="label", columns="split",

@@ -161,7 +161,11 @@ def test_loader_buffer_recycling_no_corruption():
 
         def __getitem__(self, i):
             rng = np.random.default_rng(100 + i)
+            # (3, 5)-batched small f32 arrays are exactly the class the
+            # CPU backend zero-copy-aliases in device_put (alignment
+            # dependent) — the shape that exposed the recycling race.
             return {"x": rng.normal(size=(7, 5)).astype(np.float32),
+                    "small": rng.normal(size=(5,)).astype(np.float32),
                     "label": np.int32(i)}
 
     ds = _DS()
@@ -175,10 +179,15 @@ def test_loader_buffer_recycling_no_corruption():
         idx = order[bi * 3:bi * 3 + 3]
         np.testing.assert_array_equal(batch["label"], np.asarray(idx))
         for j, i in enumerate(idx):
-            np.testing.assert_array_equal(
-                batch["x"][j], ds[i]["x"])
-    # second epoch reuses the adopted buffers; values must still be exact
-    seen2 = [{k: np.asarray(v).copy() for k, v in b.items()}
-             for b in loader]
-    for a, b in zip(seen, seen2):
-        np.testing.assert_array_equal(a["x"], b["x"])
+            np.testing.assert_array_equal(batch["x"][j], ds[i]["x"])
+            np.testing.assert_array_equal(batch["small"][j],
+                                          ds[i]["small"])
+    # many epochs re-exercise recycling under varying thread timing;
+    # values must stay exact every time (the aliasing race corrupted
+    # already-yielded batches only under load)
+    for _ in range(5):
+        seen2 = [{k: np.asarray(v).copy() for k, v in b.items()}
+                 for b in loader]
+        for a, b in zip(seen, seen2):
+            np.testing.assert_array_equal(a["x"], b["x"])
+            np.testing.assert_array_equal(a["small"], b["small"])
