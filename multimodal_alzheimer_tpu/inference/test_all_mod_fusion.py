@@ -7,7 +7,10 @@ from multimodal_alzheimer_tpu.inference.harness import build_testset, evaluate
 from multimodal_alzheimer_tpu.models.fusion_models.all_modalities_fusion import (
     AllModalitiesFusion,
 )
-from multimodal_alzheimer_tpu.train.checkpoint import load_checkpoint
+from multimodal_alzheimer_tpu.train.checkpoint import (
+    assert_tower_duplicates_equal,
+    load_checkpoint,
+)
 from multimodal_alzheimer_tpu.train.driver import stage1_normalizations
 from multimodal_alzheimer_tpu.utils.path_config import load_path_config
 
@@ -22,6 +25,11 @@ def load_fusion(checkpoint_path: str):
     _, pt_hp, _ = load_checkpoint(hparams["path_pet_tab"])
     model = AllModalitiesFusion.from_hparams(
         hparams, ap_hp, at_hp, pt_hp, pet_hp, mri_hp, tab_hp)
+    if model.share_towers:
+        # sharing reads only the canonical tower copies — refuse to
+        # silently change predictions of a checkpoint whose duplicates
+        # genuinely diverged (towers trained unfrozen)
+        assert_tower_duplicates_equal(variables)
     return model, variables, hparams, pet_hp, mri_hp
 
 

@@ -30,6 +30,25 @@ class AllModalitiesFusion(nn.Module):
     model_anat_tab: TabularMRIFusion
     model_pet_tab: PETTabularFusion
     freeze_towers: bool = False  # stop_gradient at the stage-2 taps
+    # Run each frozen stage-1 tower ONCE and feed every consuming stage-2
+    # head, instead of the reference's duplicated forwards (its stage-2
+    # submodules each own a private copy of the same grafted PET/MRI/tab
+    # tower, all_modalities_fusion.py:66-79 — identical params, identical
+    # inputs, so the duplicate compute is pure waste XLA cannot CSE away
+    # across distinct param arrays). Only legal when every stage-2
+    # sub-model has freeze_towers=True (otherwise gradients would flow to
+    # one shared copy instead of two private ones) and the duplicate
+    # tower param/stat subtrees are identical — which the frozen grafting
+    # regime guarantees by construction (train_all_modalities_fusion.py
+    # grafts the same stage-1 checkpoint into both copies; see
+    # checkpoint.sync_tower_duplicates / assert_tower_duplicates_equal).
+    # Canonical copies: pet/mri from model_anat_pet, tab from
+    # model_anat_tab; the other copies' variables are carried untouched
+    # (checkpoint-structure compat) but never read in the forward.
+    # With tower dropout active, sharing draws ONE mask per tower instead
+    # of two independent ones — stochastically equivalent, not
+    # bit-identical; all reference fusion regimes run towers dropout-free.
+    share_towers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -40,31 +59,70 @@ class AllModalitiesFusion(nn.Module):
         sub = {}
         if "dtype" in overrides:
             sub["dtype"] = overrides["dtype"]
-        # Stage-3's lr_pretrained governs EVERYTHING below it (reference
-        # all_modalities_fusion.py:33-47, unfreeze list :106-125): the
-        # stage-2 checkpoints' own lr_pretrained keys are not consulted.
-        # Sub-model freezing is forced off; the single control point is
-        # this model's three taps.
-        sub["freeze_towers"] = False
+        # Stage-1 tower freezing inside each stage-2 sub-model follows that
+        # stage-2 checkpoint's own saved lr_pretrained: the reference's
+        # load_from_checkpoint re-runs e.g. Anat_PET_CNN.__init__ with the
+        # stage-2 hparams, which sets requires_grad=False on the stage-1
+        # towers when that lr_pretrained is falsy (anat_pet_fusion.py:34-40)
+        # — so even an *unfrozen* stage-3 run (lr_pretrained set,
+        # unfreeze list all_modalities_fusion.py:106-125) never updates
+        # stage-1 towers unless the stage-2 hparams unfroze them.
         kwargs = dict(
             n_classes=hparams["n_classes"],
             model_anat_pet=AnatPETFusion.from_hparams(
-                anat_pet_hparams, pet_hparams, mri_hparams, **sub),
+                anat_pet_hparams, pet_hparams, mri_hparams,
+                freeze_towers=not anat_pet_hparams.get("lr_pretrained"),
+                **sub),
             model_anat_tab=TabularMRIFusion.from_hparams(
-                anat_tab_hparams, mri_hparams, tab_hparams, **sub),
+                anat_tab_hparams, mri_hparams, tab_hparams,
+                freeze_towers=not anat_tab_hparams.get("lr_pretrained"),
+                **sub),
             model_pet_tab=PETTabularFusion.from_hparams(
-                pet_tab_hparams, pet_hparams, tab_hparams, **sub),
+                pet_tab_hparams, pet_hparams, tab_hparams,
+                freeze_towers=not pet_tab_hparams.get("lr_pretrained"),
+                **sub),
         )
         if "lr_pretrained" in hparams:
             kwargs["freeze_towers"] = not hparams["lr_pretrained"]
+        # share_towers auto-derives from the frozen regime (the reference
+        # default: no stage-2 lr_pretrained => towers frozen => duplicate
+        # forwards are provably redundant). Explicit override wins.
+        kwargs["share_towers"] = all(
+            kwargs[m].freeze_towers for m in
+            ("model_anat_pet", "model_anat_tab", "model_pet_tab"))
         kwargs.update(overrides)
         return cls(**kwargs)
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> dict:
-        out_anat_pet = self.model_anat_pet(batch, train)["embeddings"]["fusion"]
-        out_anat_tab = self.model_anat_tab(batch, train)["embeddings"]["fusion"]
-        out_pet_tab = self.model_pet_tab(batch, train)["embeddings"]["fusion"]
+        # Sharing must not change the variable tree: during init, run the
+        # unshared graph so every duplicate tower's params/stats exist for
+        # checkpoint grafting and save/restore.
+        if self.share_towers and not self.is_initializing():
+            if not (self.model_anat_pet.freeze_towers
+                    and self.model_anat_tab.freeze_towers
+                    and self.model_pet_tab.freeze_towers):
+                raise ValueError(
+                    "share_towers=True requires freeze_towers=True on all "
+                    "three stage-2 sub-models (sharing an unfrozen tower "
+                    "would merge two independently-trained copies)")
+            ap = self.model_anat_pet(batch, train, return_towers=True)
+            at = self.model_anat_tab(
+                batch, train, towers={"mri": ap["towers"]["mri"]},
+                return_towers=True)
+            pt = self.model_pet_tab(
+                batch, train, towers={"pet": ap["towers"]["pet"],
+                                      "tab": at["towers"]["tab"]})
+            out_anat_pet = ap["embeddings"]["fusion"]
+            out_anat_tab = at["embeddings"]["fusion"]
+            out_pet_tab = pt["embeddings"]["fusion"]
+        else:
+            out_anat_pet = self.model_anat_pet(batch,
+                                               train)["embeddings"]["fusion"]
+            out_anat_tab = self.model_anat_tab(batch,
+                                               train)["embeddings"]["fusion"]
+            out_pet_tab = self.model_pet_tab(batch,
+                                             train)["embeddings"]["fusion"]
         if self.freeze_towers:
             # torch requires_grad=False parity: zero updates either way,
             # but none of the three stage-2 backwards (nor their stage-1

@@ -64,9 +64,19 @@ class AnatPETFusion(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False) -> dict:
-        pet_out = self.pet_model(batch, train)
-        mri_out = self.mri_model(batch, train)
+    def __call__(self, batch: dict, train: bool = False,
+                 towers: dict | None = None,
+                 return_towers: bool = False) -> dict:
+        """``towers`` optionally supplies precomputed stage-1 outputs
+        ({'pet': ..., 'mri': ...} full output dicts) so a stage-3 parent
+        can run each frozen tower once and feed every consumer
+        (all_modalities_fusion.py ``share_towers``). ``return_towers``
+        adds the tower output dicts to the result for that reuse."""
+        towers = towers or {}
+        pet_out = (towers["pet"] if "pet" in towers
+                   else self.pet_model(batch, train))
+        mri_out = (towers["mri"] if "mri" in towers
+                   else self.mri_model(batch, train))
         if self.freeze_towers:
             # torch requires_grad=False parity: identical (zero) updates to
             # optimizer-side freezing, but no backward through the towers.
@@ -82,8 +92,11 @@ class AnatPETFusion(nn.Module):
         fused = nn.Dense(64, dtype=self.dtype, name="stage2out")(h)
         logits = nn.Dense(self.n_classes, dtype=self.dtype,
                           name="cls2")(nn.relu(fused))
-        return {"logits": logits.astype(jnp.float32),
-                "embeddings": {"fusion": fused}}
+        out = {"logits": logits.astype(jnp.float32),
+               "embeddings": {"fusion": fused}}
+        if return_towers:
+            out["towers"] = {"pet": pet_out, "mri": mri_out}
+        return out
 
     def fusion_tap(self) -> str:
         return "fusion"

@@ -48,9 +48,16 @@ class PETTabularFusion(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False) -> dict:
-        pet_out = self.pet_model(batch, train)
-        tab_out = self.tab_model(batch, train)
+    def __call__(self, batch: dict, train: bool = False,
+                 towers: dict | None = None,
+                 return_towers: bool = False) -> dict:
+        """``towers``/``return_towers``: see anat_pet_fusion.py — stage-3
+        shared-tower reuse of precomputed frozen stage-1 outputs."""
+        towers = towers or {}
+        pet_out = (towers["pet"] if "pet" in towers
+                   else self.pet_model(batch, train))
+        tab_out = (towers["tab"] if "tab" in towers
+                   else self.tab_model(batch, train))
         if self.freeze_towers:
             # torch requires_grad=False parity; see tabular_mri_fusion.py.
             pet_out = jax.tree.map(lax.stop_gradient, pet_out)
@@ -71,8 +78,11 @@ class PETTabularFusion(nn.Module):
         fused = nn.Dense(64, dtype=self.dtype, name="stage2out")(h)
         logits = nn.Dense(self.n_classes, dtype=self.dtype,
                           name="cls2")(nn.relu(fused))
-        return {"logits": logits.astype(jnp.float32),
-                "embeddings": {"fusion": fused}}
+        out = {"logits": logits.astype(jnp.float32),
+               "embeddings": {"fusion": fused}}
+        if return_towers:
+            out["towers"] = {"pet": pet_out, "tab": tab_out}
+        return out
 
     def fusion_tap(self) -> str:
         return "fusion"

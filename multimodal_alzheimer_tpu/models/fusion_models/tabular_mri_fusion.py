@@ -47,9 +47,16 @@ class TabularMRIFusion(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False) -> dict:
-        mri_out = self.mri_model(batch, train)
-        tab_out = self.tab_model(batch, train)
+    def __call__(self, batch: dict, train: bool = False,
+                 towers: dict | None = None,
+                 return_towers: bool = False) -> dict:
+        """``towers``/``return_towers``: see anat_pet_fusion.py — stage-3
+        shared-tower reuse of precomputed frozen stage-1 outputs."""
+        towers = towers or {}
+        mri_out = (towers["mri"] if "mri" in towers
+                   else self.mri_model(batch, train))
+        tab_out = (towers["tab"] if "tab" in towers
+                   else self.tab_model(batch, train))
         if self.freeze_towers:
             # torch requires_grad=False parity (zero updates either way);
             # skips the tower backward entirely. The tab branch's
@@ -66,8 +73,11 @@ class TabularMRIFusion(nn.Module):
         fused = nn.Dense(64, dtype=self.dtype, name="stage2out")(h)
         logits = nn.Dense(self.n_classes, dtype=self.dtype,
                           name="cls2")(nn.relu(fused))
-        return {"logits": logits.astype(jnp.float32),
-                "embeddings": {"fusion": fused}}
+        out = {"logits": logits.astype(jnp.float32),
+               "embeddings": {"fusion": fused}}
+        if return_towers:
+            out["towers"] = {"mri": mri_out, "tab": tab_out}
+        return out
 
     def fusion_tap(self) -> str:
         return "fusion"

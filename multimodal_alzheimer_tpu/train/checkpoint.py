@@ -21,6 +21,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -233,6 +234,99 @@ def graft_params(target_variables: dict, grafts: dict[str, dict]) -> dict:
                                   f"{collection}/{sub_path}")
             node[leaf_name] = sub_vars[collection]
     return out
+
+
+# Stage-3 duplicate tower pairs (canonical, duplicate). The reference's
+# All_Modalities_Fusion holds TWO private copies of each stage-1 tower
+# (all_modalities_fusion.py:66-79: pet in anat_pet+pet_tab, mri in
+# anat_pet+anat_tab, tab in anat_tab+pet_tab); the frozen grafting regime
+# loads the same stage-1 checkpoint into both, so they are identical by
+# construction. AllModalitiesFusion.share_towers reads only the canonical
+# copy; these helpers keep/verify the duplicates' checkpoint-level parity.
+TOWER_DUPLICATES = (
+    ("model_anat_pet/pet_model", "model_pet_tab/pet_model"),
+    ("model_anat_pet/mri_model", "model_anat_tab/mri_model"),
+    ("model_anat_tab/tab_model", "model_pet_tab/tab_model"),
+)
+
+
+def _walk(tree, path: str):
+    node = tree
+    for k in path.split("/"):
+        if not isinstance(node, dict) or k not in node:
+            return None
+        node = node[k]
+    return node
+
+
+def sync_tower_duplicates(variables: dict,
+                          pairs=TOWER_DUPLICATES) -> dict:
+    """Copy each canonical tower subtree over its duplicate.
+
+    Used when training/saving with ``share_towers=True``: the shared
+    forward only visits (and only updates the BN stats of) the canonical
+    copies, so saved checkpoints sync the duplicates to stay bit-identical
+    to the reference's unshared regime, where both copies see the same
+    batches and update identically. No-op for pairs absent from the tree.
+    """
+    import flax
+
+    out = flax.core.unfreeze(variables)
+    for collection in ("params", "batch_stats"):
+        if collection not in out:
+            continue
+        for canonical, duplicate in pairs:
+            src = _walk(out[collection], canonical)
+            if src is None:
+                continue
+            keys = duplicate.split("/")
+            node = out[collection]
+            for k in keys[:-1]:
+                if not isinstance(node, dict) or k not in node:
+                    node = None
+                    break
+                node = node[k]
+            if node is None or keys[-1] not in node:
+                continue
+            _check_same_structure(node[keys[-1]], src,
+                                  f"{collection}/{duplicate}")
+            # real copies, not aliases: the result may feed a train step
+            # whose donation machinery rejects the same buffer appearing
+            # twice in the argument tree
+            node[keys[-1]] = jax.tree_util.tree_map(
+                lambda x: jnp.array(x) if isinstance(x, jax.Array)
+                else np.copy(x), src)
+    return out
+
+
+def assert_tower_duplicates_equal(variables: dict,
+                                  pairs=TOWER_DUPLICATES) -> None:
+    """Raise if any duplicate tower subtree differs from its canonical.
+
+    Guard before enabling ``share_towers`` on a restored checkpoint: a
+    checkpoint whose stage-2 sub-models trained their towers *unfrozen*
+    holds genuinely different duplicates, and sharing would silently
+    change its predictions.
+    """
+    for collection in ("params", "batch_stats"):
+        if collection not in variables:
+            continue
+        for canonical, duplicate in pairs:
+            src = _walk(variables[collection], canonical)
+            dst = _walk(variables[collection], duplicate)
+            if src is None or dst is None:
+                continue
+            _check_same_structure(dst, src, f"{collection}/{duplicate}")
+            for (path, a), (_, b) in zip(
+                    jax.tree_util.tree_flatten_with_path(src)[0],
+                    jax.tree_util.tree_flatten_with_path(dst)[0]):
+                if not np.array_equal(np.asarray(a), np.asarray(b)):
+                    raise ValueError(
+                        f"tower duplicate mismatch: {collection}/"
+                        f"{duplicate}{jax.tree_util.keystr(path)} differs "
+                        f"from its canonical {canonical} copy — this "
+                        "checkpoint was not trained/grafted in the frozen "
+                        "regime; share_towers would change its outputs")
 
 
 def _tree_size(tree) -> int:

@@ -29,7 +29,10 @@ from multimodal_alzheimer_tpu.metrics.classification import (
     matthews_corrcoef,
     predictions_from_logits,
 )
-from multimodal_alzheimer_tpu.train.checkpoint import TopKCheckpointManager
+from multimodal_alzheimer_tpu.train.checkpoint import (
+    TopKCheckpointManager,
+    sync_tower_duplicates,
+)
 from multimodal_alzheimer_tpu.train.logging import ExperimentLogger
 from multimodal_alzheimer_tpu.train.optim import EarlyStopping, PlateauScheduler
 from multimodal_alzheimer_tpu.train.state import (
@@ -187,9 +190,17 @@ class Trainer:
             if self.logger is not None:
                 self.logger.log_scalars(scalars, epoch)
 
-            for manager in self.ckpt_managers:
-                manager.consider(epoch, val_metrics, state.variables(),
-                                 self.hparams)
+            if self.ckpt_managers:
+                variables = state.variables()
+                if getattr(self.model, "share_towers", False):
+                    # the shared forward only updates the canonical
+                    # towers' BN stats; saved checkpoints mirror them to
+                    # the duplicates so they stay bit-identical to the
+                    # unshared (reference) regime's checkpoints
+                    variables = sync_tower_duplicates(variables)
+                for manager in self.ckpt_managers:
+                    manager.consider(epoch, val_metrics, variables,
+                                     self.hparams)
 
             if plateau is not None:
                 scale = plateau.step(val_metrics["val_loss_epoch"])

@@ -448,9 +448,15 @@ def test_pet_tabular_fusion_conversion_logit_parity():
 def test_all_modalities_fusion_conversion_logit_parity():
     """Stage-3: full two-level surgery chain (all_modalities_fusion.py)."""
     hp = {"n_classes": 3, "lr": 1e-3}
-    ap_hp = {"n_classes": 3, "lr": 1e-3}
-    at_hp = {"n_classes": 3, "lr": 1e-3}
-    pt_hp = {"n_classes": 3, "simple_dim_red": False, "lr": 1e-3}
+    # lr_pretrained marks the stage-2 towers as unfrozen-trained — which
+    # is what the torch replica's independent per-submodule randomization
+    # simulates (its duplicate PET/MRI/tab towers hold different weights).
+    # from_hparams then keeps the duplicate forwards (share_towers=False);
+    # frozen-regime checkpoints (identical duplicates) auto-share instead.
+    ap_hp = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": 1e-6}
+    at_hp = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": 1e-6}
+    pt_hp = {"n_classes": 3, "simple_dim_red": False, "lr": 1e-3,
+             "lr_pretrained": 1e-6}
     torch.manual_seed(10)
     ref = _TorchAllMod(
         hp,

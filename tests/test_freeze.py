@@ -144,8 +144,12 @@ def test_stage3_freeze_covers_all_submodels():
         hp3, {"n_classes": 3, "lr_pretrained": 1e-6}, {"n_classes": 3},
         {"n_classes": 3}, PET_HP, MRI_HP, TAB_HP)
     assert model.freeze_towers
-    # stage-2 lr_pretrained keys are NOT consulted (reference :106-125)
-    assert not model.model_anat_pet.freeze_towers
+    # stage-1 tower freezing derives from each stage-2 checkpoint's own
+    # saved lr_pretrained (reference load_from_checkpoint re-runs the
+    # stage-2 __init__ with its hparams, anat_pet_fusion.py:34-40)
+    assert not model.model_anat_pet.freeze_towers  # lr_pretrained=1e-6
+    assert model.model_anat_tab.freeze_towers      # default: frozen
+    assert model.model_pet_tab.freeze_towers
     _, g = _grads(model, batch)
     for sub in ("model_anat_pet", "model_anat_tab", "model_pet_tab"):
         assert all(not np.asarray(l).any()

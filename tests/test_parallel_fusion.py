@@ -1,0 +1,148 @@
+"""Multi-device coverage for the fusion models (SURVEY §2.6 envelope).
+
+The DP/tp/sp tests elsewhere use single-tower models; these pin down the
+shapes the stage-3 three-tower graph adds under GSPMD: the (B, 9) tabular
+input through ``batch_spec``'s rank heuristic (parallel/tp.py:111-118),
+the frozen (shared-tower) and unfrozen regimes, and a Trainer.fit over a
+mesh with mixed-modality batches including a ragged tail.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_alzheimer_tpu.losses import make_criterion
+from multimodal_alzheimer_tpu.models.fusion_models.all_modalities_fusion import (
+    AllModalitiesFusion,
+)
+from multimodal_alzheimer_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from multimodal_alzheimer_tpu.train import TrainState, make_train_step
+from multimodal_alzheimer_tpu.train.checkpoint import sync_tower_duplicates
+
+PET_HP = {"n_classes": 3, "conv_out": (4,), "filter_size": (3,),
+          "linear_out": 8}
+MRI_HP = {"n_classes": 3, "resnet_depth": 10}
+TAB_HP = {"n_classes": 3, "hidden": (16, 32)}
+HP3 = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None}
+HP2 = {"n_classes": 3}
+
+
+def _batch(n=16, s=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "pet1451": jnp.asarray(rng.normal(size=(n, s, s, s))
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(size=(n, s, s, s)).astype(np.float32)),
+        "tabular": jnp.asarray(rng.normal(size=(n, 9)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 3, n), jnp.int32),
+    }
+
+
+def _model(shared: bool):
+    if shared:
+        return AllModalitiesFusion.from_hparams(
+            HP3, HP2, HP2, HP2, PET_HP, MRI_HP, TAB_HP)
+    # towers unfrozen everywhere: gradients flow through all three towers
+    hp2 = {"n_classes": 3, "lr_pretrained": 1e-5}
+    return AllModalitiesFusion.from_hparams(
+        {"n_classes": 3, "lr": 1e-3, "lr_pretrained": 1e-5},
+        hp2, hp2, hp2, PET_HP, MRI_HP, TAB_HP)
+
+
+def _dp_vs_single(model, variables, batch, steps=2):
+    """Run `steps` SGD steps single-device and on the 8-device DP mesh;
+    SGD keeps shard-order float noise linear (see test_parallel.py)."""
+    criterion = make_criterion({"loss_class_weights": [0.5, 0.3, 0.2]})
+    optimizer = optax.sgd(1e-2)
+    step = make_train_step(model, criterion, optimizer)
+    copy = lambda tree: jax.tree_util.tree_map(jnp.array, tree)  # noqa: E731
+    rng = jax.random.PRNGKey(1)
+
+    state1 = TrainState.create(copy(variables), optimizer)
+    for _ in range(steps):
+        state1, aux1 = step(state1, batch, rng)
+
+    mesh = make_mesh()
+    state8 = replicate(TrainState.create(copy(variables), optimizer), mesh)
+    sharded = shard_batch(batch, mesh)
+    for _ in range(steps):
+        state8, aux8 = step(state8, sharded, rng)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]),
+                               rtol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(state1.params),
+                      jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(state1.batch_stats),
+                      jax.tree_util.tree_leaves(state8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_stage3_frozen_shared_dp_matches_single_device():
+    """The reference-default regime (frozen towers, shared forward) on the
+    8-device DP mesh == single device; exercises the (B, 9) tabular input
+    and the shared three-tower graph under GSPMD."""
+    model = _model(shared=True)
+    assert model.share_towers
+    batch = _batch()
+    variables = sync_tower_duplicates(
+        model.init(jax.random.PRNGKey(0), batch, train=False))
+    _dp_vs_single(model, variables, batch)
+
+
+def test_stage3_unfrozen_dp_matches_single_device():
+    """Fully-unfrozen stage-3 (gradients through every tower, duplicate
+    forwards) on the DP mesh == single device."""
+    model = _model(shared=False)
+    assert not model.share_towers
+    batch = _batch(n=8)  # heavier graph: keep the CPU-mesh run small
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    _dp_vs_single(model, variables, batch, steps=1)
+
+
+def test_trainer_fit_mesh_fusion_smoke():
+    """Trainer.fit over the mesh with mixed-modality batches, including a
+    ragged tail batch (20 % 8 != 0 -> the replicate fallback path)."""
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+    from multimodal_alzheimer_tpu.train.loop import Trainer
+    from multimodal_alzheimer_tpu.train.optim import single_lr_optimizer
+
+    n = 20
+    rng = np.random.default_rng(3)
+
+    class _DS:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {
+                "pet1451": r.normal(size=(12, 12, 12)).astype(np.float32),
+                "mri": r.normal(size=(12, 12, 12)).astype(np.float32),
+                "tabular": r.normal(size=(9,)).astype(np.float32),
+                "label": np.int32(i % 3),
+            }
+
+    del rng
+    model = _model(shared=True)
+    hparams = {"lr": 1e-3, "max_epochs": 1, "n_classes": 3,
+               "loss_class_weights": None, "batch_size": 8,
+               "early_stopping_patience": 2}
+    mesh = make_mesh()
+    trainer = Trainer(model, hparams, single_lr_optimizer(hparams["lr"]),
+                      make_criterion(hparams), logger=None,
+                      log_confusion_images=False, mesh=mesh)
+    loader = DataLoader(_DS(), batch_size=8, shuffle=False, num_workers=2)
+    state = trainer.init_state(
+        next(iter(DataLoader(_DS(), batch_size=8))),
+        variables_transform=sync_tower_duplicates)
+    state, last_val_loss = trainer.fit(state, loader, loader, max_epochs=1)
+    assert np.isfinite(last_val_loss)
