@@ -8,7 +8,17 @@ and serves later epochs via ``np.load(mmap_mode='r')``: after the first
 epoch, reads come from the OS page cache at memory bandwidth with zero
 decode CPU.
 
-Cache keys include file path, size and mtime, so stale entries self-evict.
+``dtype`` optionally narrows stored entries (float16 halves bytes per
+volume: 3.6 MB -> 1.8 MB at 91^3, roughly doubling the warm-epoch ceiling
+on page-cache-bandwidth-bound hosts). ADNI value ranges fit float16
+comfortably — PET ~N(0.5, 0.5), MRI intensities ~0-3000, both well inside
+float16's 6.5e4 max with ~5e-4 relative error (11-bit mantissa). Narrow
+volumes stay narrow through collate and the H2D transfer; the on-device
+preprocess upcasts to float32 before normalization
+(dataset.get_device_preprocess), so model numerics are f32/bf16 as always.
+
+Cache keys include file path, size, mtime and dtype, so stale or
+differently-typed entries self-evict.
 """
 
 from __future__ import annotations
@@ -16,29 +26,35 @@ from __future__ import annotations
 import hashlib
 import os
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
 
 class VolumeCache:
-    def __init__(self, cache_dir: str | Path):
+    def __init__(self, cache_dir: str | Path,
+                 dtype: Optional[str | np.dtype] = None):
         self.cache_dir = Path(cache_dir)
         self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.dtype = np.dtype(dtype) if dtype is not None else None
 
     def _key(self, path: str) -> Path:
         st = os.stat(path)
-        token = f"{os.path.abspath(path)}|{st.st_size}|{int(st.st_mtime)}"
+        dt = self.dtype.name if self.dtype is not None else "native"
+        token = f"{os.path.abspath(path)}|{st.st_size}|{int(st.st_mtime)}|{dt}"
         digest = hashlib.sha1(token.encode()).hexdigest()[:24]
         return self.cache_dir / f"{digest}.npy"
 
     def get(self, path: str) -> np.ndarray:
-        """Decoded float32 volume; memory-mapped on cache hits."""
+        """Decoded volume (in ``self.dtype`` if set); mmapped on hits."""
         entry = self._key(path)
         if entry.exists():
             return np.load(entry, mmap_mode="r")
         from multimodal_alzheimer_tpu.data import native_io
 
         volume = np.ascontiguousarray(native_io.decode(path))
+        if self.dtype is not None:
+            volume = volume.astype(self.dtype)
         tmp = entry.with_suffix(".tmp.npy")
         np.save(tmp, volume)
         os.replace(tmp, entry)  # atomic vs concurrent writers

@@ -50,7 +50,8 @@ class MultiModalDataset:
                  normalize_mri: Optional[Dict[str, Any]] = None,
                  quantile: float = 0.99,
                  compat_whole_brain_bug: bool = True,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 cache_dtype: Optional[str] = None):
         self.entire_ds = pd.read_csv(path)
 
         if binary_classification == 2:
@@ -106,10 +107,16 @@ class MultiModalDataset:
         # Optional decoded-volume cache (data/cache.py): first epoch pays
         # the gzip decode, later epochs mmap raw arrays from page cache.
         self._cache = None
+        # Volumes keep the cache's (possibly half-width) dtype end to end —
+        # collate and the H2D transfer move half the bytes — and the
+        # device preprocess upcasts to f32 before normalization (free: the
+        # cast fuses into the normalization kernels).
+        self._vol_dtype = (np.dtype(cache_dtype) if cache_dtype is not None
+                           else np.dtype(np.float32))
         if cache_dir is not None:
             from multimodal_alzheimer_tpu.data.cache import VolumeCache
 
-            self._cache = VolumeCache(cache_dir)
+            self._cache = VolumeCache(cache_dir, dtype=cache_dtype)
 
     def _load_volume(self, path):
         if self._cache is not None:
@@ -136,19 +143,19 @@ class MultiModalDataset:
             pet = self._load_volume(pet_path)
             if self.transform_pet:
                 pet = self.transform_pet(pet)
-            data["pet1451"] = np.asarray(pet, dtype=np.float32)
+            data["pet1451"] = np.asarray(pet, dtype=self._vol_dtype)
 
         mri_path = sample.get("path_anat")
         if mri_path is not None:
             mri = self._load_volume(mri_path)
             if self.transform_mri:
                 mri = self.transform_mri(mri)
-            data["mri"] = np.asarray(mri, dtype=np.float32)
+            data["mri"] = np.asarray(mri, dtype=self._vol_dtype)
             mask_path = sample.get("path_anat_mask")
             if (self.normalize_mri and "per_scan_norm" in self.normalize_mri
                     and mask_path is not None):
                 data["mri_mask"] = np.asarray(self._load_volume(mask_path),
-                                              dtype=np.float32)
+                                              dtype=self._vol_dtype)
 
         if sample.get("AGE") is not None:
             data["tabular"] = tabular_vector(
@@ -199,6 +206,11 @@ class MultiModalDataset:
 
         def preprocess(batch):
             out = dict(batch)
+            # Half-width cached volumes (cache_dtype='float16') upcast on
+            # device before any arithmetic; a no-op for f32 inputs.
+            for k in ("pet1451", "mri", "mri_mask"):
+                if k in out and out[k].dtype != jnp.float32:
+                    out[k] = out[k].astype(jnp.float32)
             if "pet1451" in out and normalize_pet_cfg:
                 out["pet1451"] = normalize_pet(
                     out["pet1451"], normalize_pet_cfg["mean"],

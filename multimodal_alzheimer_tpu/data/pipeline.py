@@ -98,6 +98,8 @@ class DataLoader:
         if num_workers is None:
             num_workers = min(8, os.cpu_count() or 1)
         self.num_workers = max(1, num_workers)
+        if prefetch < 1:
+            raise ValueError("prefetch must be >= 1")
         self.prefetch = prefetch
         self.sharding = sharding
         self.pad_last = pad_last
@@ -159,18 +161,26 @@ class DataLoader:
 
             jax's CPU backend zero-copies aligned numpy arrays into
             device_put results — recycling such a buffer would mutate the
-            live batch. np.asarray on a CPU jax array is a zero-copy
-            view, so the shares_memory probe is pointer math, not a copy;
-            non-CPU backends never alias (data crossed to the device).
+            live batch. Probed per addressable shard: with a multi-device
+            CPU sharding ``np.asarray(arr)`` gathers shards into a FRESH
+            buffer (shares_memory False) even when individual shards
+            zero-copy-alias slices of the host buffer, so the whole-array
+            probe would wrongly recycle live memory. Each shard's
+            ``np.asarray(s.data)`` is a zero-copy view on CPU, so the
+            probe is pointer math, not a copy; non-CPU backends never
+            alias (data crossed to the device).
             """
             import jax
 
             if jax.devices()[0].platform == "cpu":
                 for k in list(bufs):
-                    if k in dev and np.shares_memory(
-                            np.asarray(dev[k]), bufs[k]):
+                    if k in dev and any(
+                            np.shares_memory(np.asarray(s.data), bufs[k])
+                            for s in dev[k].addressable_shards):
                         del bufs[k]
             free_q.put(bufs)
+
+        error: list = []  # producer exception, re-raised in the consumer
 
         def producer():
             import jax
@@ -183,7 +193,7 @@ class DataLoader:
                     if not reuse:
                         out_q.put(self._load_batch(indices, pool))
                         continue
-                    while len(pending) >= self.prefetch:
+                    while pending and len(pending) >= self.prefetch:
                         old_bufs, old_dev = pending.popleft()
                         jax.block_until_ready(old_dev)  # transfer done
                         recycle(old_bufs, old_dev)
@@ -191,8 +201,14 @@ class DataLoader:
                     dev = to_device(self._load_batch(indices, pool, bufs))
                     pending.append((bufs, dev))
                     out_q.put(dev)
-            except RuntimeError:
-                pass  # pool shut down by an abandoned iterator
+            except BaseException as exc:
+                # torch-DataLoader parity: a worker/decode failure must
+                # surface in the training process, not truncate the epoch
+                # (a clean-looking short epoch silently corrupts metrics
+                # and gradients). Swallow only the shutdown race of an
+                # abandoned iterator.
+                if not stop.is_set():
+                    error.append(exc)
             finally:
                 out_q.put(sentinel)
 
@@ -202,6 +218,8 @@ class DataLoader:
             while True:
                 item = out_q.get()
                 if item is sentinel:
+                    if error:
+                        raise error[0]
                     break
                 yield item
         finally:

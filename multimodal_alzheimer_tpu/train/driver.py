@@ -53,7 +53,8 @@ def build_datasets(hparams: dict, modalities, normalize_pet=None,
             quantile=quantile,
             binary_classification=binary,
             days_threshold=hparams.get("days_threshold", 180),
-            cache_dir=hparams.get("volume_cache_dir"))
+            cache_dir=hparams.get("volume_cache_dir"),
+            cache_dtype=hparams.get("volume_cache_dtype"))
         for mode in modes)
 
 

@@ -144,6 +144,50 @@ def test_volume_cache(tmp_path, split):
     assert any(e.endswith(".npy") for e in entries)
 
 
+def test_volume_cache_f16(tmp_path, split):
+    """Half-width cache: volumes travel as float16 (half the page-cache,
+    collate and H2D bytes), the device preprocess upcasts before
+    normalization, and normalized outputs stay within float16's ~5e-4
+    relative error of the f32 path (ADNI ranges: PET ~N(0.5,0.5), MRI
+    0-3000 — both fit comfortably)."""
+    import jax.numpy as jnp
+
+    kw = dict(modalities=["t1w"],
+              normalize_mri={"per_scan_norm": "normalize"})
+    ds32 = MultiModalDataset(split["train"], **kw)
+    ds16 = MultiModalDataset(split["train"], cache_dir=str(tmp_path / "vc"),
+                             cache_dtype="float16", **kw)
+    item32, item16 = ds32[0], ds16[0]
+    assert item16["mri"].dtype == np.float16
+    assert item16["mri_mask"].dtype == np.float16
+    np.testing.assert_allclose(item16["mri"].astype(np.float32),
+                               item32["mri"], rtol=1e-3, atol=1e-3)
+    # warm read serves the narrow mmap entry
+    item_warm = MultiModalDataset(split["train"],
+                                  cache_dir=str(tmp_path / "vc"),
+                                  cache_dtype="float16", **kw)[0]
+    assert item_warm["mri"].dtype == np.float16
+    np.testing.assert_array_equal(item_warm["mri"], item16["mri"])
+
+    # device preprocess upcasts, then normalized volumes track f32 closely
+    def norm(ds, item):
+        batch = {"mri": jnp.asarray(item["mri"])[None],
+                 "mri_mask": jnp.asarray(item["mri_mask"])[None]}
+        out = ds.get_device_preprocess()(batch)
+        assert out["mri"].dtype == jnp.float32
+        return np.asarray(out["mri"][0])
+
+    n32, n16 = norm(ds32, item32), norm(ds16, item16)
+    # per-scan z-scored values are O(1); 3e-3 absolute ~ f16 quantization
+    # of inputs propagated through the affine normalization
+    np.testing.assert_allclose(n16, n32, atol=3e-3)
+
+    # f32 and f16 cache entries never collide (dtype is part of the key)
+    ds_mixed = MultiModalDataset(split["train"],
+                                 cache_dir=str(tmp_path / "vc"), **kw)
+    assert ds_mixed[0]["mri"].dtype == np.float32
+
+
 def test_loader_buffer_recycling_no_corruption():
     """Recycled host buffers must never corrupt already-yielded batches.
 
@@ -191,3 +235,73 @@ def test_loader_buffer_recycling_no_corruption():
         for a, b in zip(seen, seen2):
             np.testing.assert_array_equal(a["x"], b["x"])
             np.testing.assert_array_equal(a["small"], b["small"])
+
+
+class _FailingDS:
+    """__getitem__ raises mid-epoch, like a corrupt NIfTI decode
+    (data/native_io.py raises IOError on truncated gzip streams)."""
+
+    def __init__(self, fail_at=7, n=12):
+        self.fail_at = fail_at
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i == self.fail_at:
+            raise IOError(f"corrupt volume at index {i}")
+        return {"x": np.full((4,), i, np.float32), "label": np.int32(i)}
+
+
+@pytest.mark.parametrize("device_put", [True, False])
+def test_loader_propagates_decode_errors(device_put):
+    """torch-DataLoader parity: a worker decode failure must raise in the
+    consuming process, never silently truncate the epoch (which would
+    corrupt gradients/metrics with no signal)."""
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+
+    loader = DataLoader(_FailingDS(), batch_size=3, shuffle=False,
+                        num_workers=2, device_put=device_put)
+    with pytest.raises(IOError, match="corrupt volume"):
+        for _ in loader:
+            pass
+
+
+def test_trainer_raises_on_loader_error():
+    """Trainer.fit must surface a mid-epoch loader failure, not finish a
+    short epoch."""
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+    from multimodal_alzheimer_tpu.losses import make_criterion
+    from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import (
+        TabularMLP,
+    )
+    from multimodal_alzheimer_tpu.train.loop import Trainer
+    from multimodal_alzheimer_tpu.train.optim import single_lr_optimizer
+
+    class _TabFailingDS(_FailingDS):
+        def __getitem__(self, i):
+            if i == self.fail_at:
+                raise IOError(f"corrupt volume at index {i}")
+            return {"tabular": np.full((9,), i, np.float32),
+                    "label": np.int32(i % 2)}
+
+    hparams = {"lr": 1e-3, "max_epochs": 1, "n_classes": 2,
+               "loss_class_weights": None}
+    model = TabularMLP.from_hparams({"n_classes": 2, "hidden": (8,)})
+    trainer = Trainer(model, hparams, single_lr_optimizer(hparams["lr"]),
+                      make_criterion(hparams), logger=None,
+                      log_confusion_images=False)
+    loader = DataLoader(_TabFailingDS(), batch_size=3, shuffle=False,
+                        num_workers=2)
+    state = trainer.init_state(next(iter(DataLoader(
+        _TabFailingDS(fail_at=99), batch_size=3))))
+    with pytest.raises(IOError, match="corrupt volume"):
+        trainer.fit(state, loader, loader, max_epochs=1)
+
+
+def test_loader_rejects_prefetch_zero():
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+
+    with pytest.raises(ValueError, match="prefetch"):
+        DataLoader(_FailingDS(), batch_size=3, prefetch=0)
