@@ -48,11 +48,16 @@ try:
         _cpu_flags = next((ln for ln in _f if ln.startswith("flags")), "")
 except OSError:
     _cpu_flags = ""
-# "-axon" suffix: axon compiles run on a remote host; their cache must
-# stay apart from local-CPU caches (see tests/conftest.py).
+# Platform suffix: axon compiles run on a remote host; their cache must
+# stay apart from local-CPU caches (see tests/conftest.py). Derived from
+# the active platform so a JAX_PLATFORMS=cpu debug run can't write
+# local-ISA AOT entries into the axon-session dir (they SIGABRT when
+# loaded on another host).
+_platform = os.environ.get("JAX_PLATFORMS", "axon").split(",")[0] or "axon"
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}-axon")
+    f"/tmp/jax_cache-{hashlib.md5(_cpu_flags.encode()).hexdigest()[:8]}"
+    f"-{_platform}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # sitecustomize imports jax before this module body runs, so the env var
@@ -217,11 +222,13 @@ def measure_all_configs():
 
     from multimodal_alzheimer_tpu.models import (
         AllModalitiesFusion,
+        AnatCNN,
         AnatPETFusion,
         SmallPETCNN,
         TabularMLP,
     )
     from multimodal_alzheimer_tpu.ops.normalization import (
+        batched_normalize_mri,
         mri_per_scan_zscore,
         normalize_pet,
     )
@@ -278,6 +285,25 @@ def measure_all_configs():
         {"pet1451": vols(b), "label": labels(b)}, w, pre_pet)
 
     results["mri_resnet18"] = measure(128)
+
+    # Parity-default preprocessing: the fusion driver and the reference's
+    # tuned MRI pipeline normalize with quantile min-max, not z-score
+    # (train/driver.py sets {"per_scan_norm": "min_max"}; reference
+    # dataloader.py:261-270). Routed through the Pallas radix-select
+    # quantile kernel on TPU (ops/pallas_norm.py) — the XLA full-sort
+    # path costs ~319 ms/step at batch 128 vs ~34 ms for the kernel.
+    def pre_mri_minmax(batch):
+        out = dict(batch)
+        out["mri"] = batched_normalize_mri(
+            out["mri"], out.pop("mri_mask"),
+            {"per_scan_norm": "min_max"}, 0.99)
+        return out
+
+    b = 128
+    results["mri_resnet18_minmax"] = _measure_generic(
+        AnatCNN.from_hparams({**mri_hp, "batchnorm_begin": False,
+                              "lr": 1e-3}, dtype=jnp.bfloat16),
+        {**mri_batch(b), "label": labels(b)}, w, pre_mri_minmax)
 
     b = 64
     results["pet_mri_late_fusion"] = _measure_generic(

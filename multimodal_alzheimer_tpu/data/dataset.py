@@ -195,10 +195,12 @@ class MultiModalDataset:
         the train step under one jit so normalization fuses with the
         forward pass.
         """
-        import jax
         import jax.numpy as jnp
 
-        from multimodal_alzheimer_tpu.ops import normalize_mri, normalize_pet
+        from multimodal_alzheimer_tpu.ops.normalization import (
+            batched_normalize_mri,
+            normalize_pet,
+        )
 
         normalize_pet_cfg = self.normalize_pet
         normalize_mri_cfg = self.normalize_mri
@@ -216,12 +218,9 @@ class MultiModalDataset:
                     out["pet1451"], normalize_pet_cfg["mean"],
                     normalize_pet_cfg["std"])
             if "mri" in out and normalize_mri_cfg:
-                mask = out.pop("mri_mask", None)
-                out["mri"] = jax.vmap(
-                    lambda v, m: normalize_mri(v, m, normalize_mri_cfg,
-                                               quantile)
-                )(out["mri"], mask if mask is not None
-                  else jnp.ones_like(out["mri"]))
+                out["mri"] = batched_normalize_mri(
+                    out["mri"], out.pop("mri_mask", None),
+                    normalize_mri_cfg, quantile)
             out.pop("mri_mask", None)
             return out
 

@@ -94,6 +94,54 @@ batched_per_scan_minmax = jax.jit(
     static_argnums=(2,))
 
 
+def batched_mri_per_scan_minmax(volume: jnp.ndarray, mask: jnp.ndarray,
+                                quantile: float = 0.99) -> jnp.ndarray:
+    """Batched quantile min-max — the production (fast) MRI path.
+
+    Same outputs as ``vmap(mri_per_scan_minmax)`` but the exact quantiles
+    come from the Pallas radix-select kernel instead of a full ~903k-voxel
+    sort per scan (sort: ~319 ms at batch 128 on v5e; kernel: ~34 ms —
+    both measured round 3). Falls back to the sort oracle
+    off-TPU (the kernel's interpreter mode is far slower than XLA:CPU's
+    sort, and tests compare the two for parity anyway).
+    """
+    if jax.default_backend() != "tpu":
+        return batched_per_scan_minmax(volume, mask, quantile)
+    from multimodal_alzheimer_tpu.ops.pallas_norm import per_scan_minmax
+
+    return per_scan_minmax(volume, mask, quantile)
+
+
+def batched_normalize_mri(volume: jnp.ndarray, mask: jnp.ndarray | None,
+                          normalize_mri_cfg: dict | None,
+                          quantile: float = 0.99) -> jnp.ndarray:
+    """Batch-level ``normalize_mri`` dispatch (fast paths where they exist).
+
+    Semantics of ``vmap(normalize_mri)`` over a (B, ...) volume batch; the
+    min_max mode routes through the Pallas radix-select quantiles on TPU.
+    """
+    if normalize_mri_cfg is None:
+        return volume
+    assert len(normalize_mri_cfg) == 1
+    if mask is None:
+        mask = jnp.ones_like(volume)
+    if "per_scan_norm" in normalize_mri_cfg:
+        mode = normalize_mri_cfg["per_scan_norm"]
+        if mode == "normalize":
+            return jax.vmap(mri_per_scan_zscore)(volume, mask)
+        if mode == "min_max":
+            assert 0.0 <= quantile <= 1.0
+            return batched_mri_per_scan_minmax(volume, mask, quantile)
+        raise ValueError(
+            'If you want to normalize per scan you have to pass either '
+            '"normalize" or "min_max"')
+    if "all_scan_norm" in normalize_mri_cfg:
+        stats = normalize_mri_cfg["all_scan_norm"]
+        return zscore_normalize(volume, stats["mean"], stats["std"])
+    raise ValueError('If you use the argument "normalize_mri" only '
+                     '"per_scan_norm" or "all_scan_norm" are allowed as keys!')
+
+
 @partial(jax.jit, static_argnames=("batch_size",))
 def _split_stats_step(carry, volume, batch_size=None):
     mean_x, mean_x2, count = carry

@@ -170,10 +170,10 @@ def per_scan_zscore(volume: jnp.ndarray, mask: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, rows, _LANES), jnp.float32),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, _CHUNK_ROWS, _LANES), jnp.float32),  # vol bufs
             pltpu.VMEM((2, _CHUNK_ROWS, _LANES), jnp.float32),  # mask bufs
@@ -187,6 +187,161 @@ def per_scan_zscore(volume: jnp.ndarray, mask: jnp.ndarray,
     return out.reshape(b, rows * _LANES)[:, :n_elems].reshape(shape)
 
 
+def _key_chunk(vol, msk):
+    """Masked values -> order-preserving int32 radix keys (signed order).
+
+    ``k = b ^ ((b >> 31) & 0x7FFFFFFF)`` (arithmetic shift) maps float32
+    bit patterns to int32s whose SIGNED order equals the float order
+    (negatives get their magnitude bits flipped). Invalid voxels (zero
+    after masking, incl. tile padding) become INT32_MAX so every valid
+    key sorts strictly below them.
+    """
+    vals = vol * msk
+    valid = vals != 0.0
+    b = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    k = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+    return jnp.where(valid, k, jnp.int32(0x7FFFFFFF)), valid
+
+
+def _chunked_reduce(keys_ref, n_chunks, chunk, fn, init):
+    """fn(block, carry) partial-reduce over row chunks of the VMEM keys.
+
+    Whole-buffer (rows, 128) vector temporaries blow past VMEM next to
+    the ~4 MB key buffer itself (measured: the Mosaic compile wedges for
+    >25 min at 91^3 shapes); chunking keeps every temporary <= ~512 KiB.
+    """
+    def body(c, s):
+        return fn(keys_ref[pl.ds(c * chunk, chunk), :], s)
+
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+_SIGN = -0x80000000  # int32 sign bit; ^ _SIGN biases signed <-> unsigned
+
+
+def _radix_select_multi(keys_ref, n_chunks, chunk, ts):
+    """Signed keys of the (0-indexed) ``ts[j]``-th smallest entries.
+
+    MSB-first successive approximation per target: tentatively set each
+    bit of the answer (constructed in the sign-biased space where unsigned
+    bit-pattern order == value order) and keep it iff the count of keys
+    strictly below the candidate is <= t — one signed LESS-THAN compare
+    plus one add per element per bit (Mosaic has no unsigned compares;
+    candidates are un-biased to scalars before the vector compare). All
+    targets share each chunk read. ``ts`` are int32 scalar ranks.
+    """
+    nq = len(ts)
+
+    def bit_body(i, ps):
+        bit = 31 - i
+        cands = tuple(p | (jnp.int32(1) << bit) for p in ps)
+        c_signed = tuple(c ^ jnp.int32(_SIGN) for c in cands)
+
+        def red(blk, s):
+            return tuple(
+                s[j] + jnp.sum((blk < c_signed[j]).astype(jnp.int32))
+                for j in range(nq))
+
+        cnts = _chunked_reduce(keys_ref, n_chunks, chunk, red,
+                               (jnp.int32(0),) * nq)
+        return tuple(jnp.where(cnts[j] <= ts[j], cands[j], ps[j])
+                     for j in range(nq))
+
+    ps = jax.lax.fori_loop(0, 32, bit_body, (jnp.int32(0),) * nq)
+    return tuple(p ^ jnp.int32(_SIGN) for p in ps)  # back to signed keys
+
+
+def _minmax_select_kernel(qs_smem, vol_hbm, mask_hbm, out_ref,
+                          vbuf, mbuf, keys, acc, sems):
+    """Grid (B,). Exact per-scan quantile keys via VMEM-resident radix select.
+
+    Phase 1 streams vol*mask chunks (double-buffered DMA), materializing
+    the radix keys in VMEM and counting valid voxels. Phase 2 runs the
+    32-pass selection per requested rank over the VMEM keys — zero extra
+    HBM traffic. Output row layout (int32): [n, k_lo(q0), k_hi(q0),
+    k_lo(q1), k_hi(q1), ...]; the monotone-key inverse + linear
+    interpolation happen outside in XLA on (B, Q) scalars.
+    """
+    b = pl.program_id(0)
+    rows = vol_hbm.shape[1]
+    chunk = vbuf.shape[1]
+    n_chunks = rows // chunk
+    n_qs = qs_smem.shape[0]
+
+    def chunk_in(buf_set, slot, c):
+        src = vol_hbm if buf_set == 0 else mask_hbm
+        dst = vbuf if buf_set == 0 else mbuf
+        return pltpu.make_async_copy(
+            src.at[b, pl.ds(c * chunk, chunk), :],
+            dst.at[slot], sems.at[buf_set, slot])
+
+    acc[0, 0] = 0.0  # valid-voxel count
+    chunk_in(0, 0, 0).start()
+    chunk_in(1, 0, 0).start()
+
+    def keys_body(c, _):
+        slot = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_in(0, nxt, c + 1).start()
+            chunk_in(1, nxt, c + 1).start()
+
+        chunk_in(0, slot, c).wait()
+        chunk_in(1, slot, c).wait()
+        k, valid = _key_chunk(vbuf[slot], mbuf[slot])
+        keys[pl.ds(c * chunk, chunk), :] = k
+        acc[0, 0] += jnp.sum(valid.astype(jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, keys_body, 0)
+
+    n = acc[0, 0]
+    out = jnp.zeros((_SUBLANES, _LANES), jnp.int32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
+
+    def put(lane, value):
+        return jnp.where((rows_i == 0) & (lanes == lane), value, 0)
+
+    out += put(0, jax.lax.convert_element_type(n, jnp.int32))
+
+    # torch.quantile rank arithmetic (matches ops/quantile.py: f32).
+    los = [jnp.floor(qs_smem[qi] * (n - 1.0)) for qi in range(n_qs)]
+    k_los = _radix_select_multi(
+        keys, n_chunks, chunk,
+        tuple(jax.lax.convert_element_type(lo, jnp.int32) for lo in los))
+
+    # sorted[lo+1] per target, one shared pass: v_lo again if duplicates
+    # cover rank lo+1, else the smallest key strictly greater; clamped to
+    # the last valid rank. Signed compares == value order; invalid keys
+    # (INT32_MAX) can never be <= a valid k_lo.
+    def hi_red(blk, s):
+        parts = []
+        for j in range(n_qs):
+            cnt_le, nxt = s[2 * j], s[2 * j + 1]
+            parts.append(cnt_le + jnp.sum((blk <= k_los[j])
+                                          .astype(jnp.int32)))
+            parts.append(jnp.minimum(nxt, jnp.min(
+                jnp.where(blk > k_los[j], blk, jnp.int32(0x7FFFFFFF)))))
+        return tuple(parts)
+
+    his = _chunked_reduce(
+        keys, n_chunks, chunk, hi_red,
+        (jnp.int32(0), jnp.int32(0x7FFFFFFF)) * n_qs)
+
+    for j in range(n_qs):
+        cnt_le, nxt = his[2 * j], his[2 * j + 1]
+        lo_i = jax.lax.convert_element_type(los[j], jnp.int32)
+        k_hi = jnp.where(
+            (cnt_le > lo_i + 1) | (los[j] + 1.0 >= n), k_los[j], nxt)
+        out += put(1 + 2 * j, k_los[j])
+        out += put(2 + 2 * j, k_hi)
+
+    out_ref[0] = out
+
+
 def _minmax_apply_kernel(q_ref, vol_ref, mask_ref, out_ref):
     i = pl.program_id(0)
     qmin = q_ref[i, 0]
@@ -194,6 +349,136 @@ def _minmax_apply_kernel(q_ref, vol_ref, mask_ref, out_ref):
     x = (vol_ref[0] - qmin) / (qmax - qmin)
     x = jnp.clip(x, 0.0, 1.0)
     out_ref[0] = x * mask_ref[0]
+
+
+def _pick_chunk(rows: int) -> tuple[int, int]:
+    """(chunk, padded_rows): prefer a divisor chunk so the selection scans
+    touch zero padded tail rows (for 91^3 -> chunk 1008, rows 7056 exactly;
+    the naive 1024-multiple pad would scan 16% dead keys)."""
+    c = min(_CHUNK_ROWS, rows)
+    for cand in range(c, 255, -_SUBLANES):
+        if rows % cand == 0:
+            return cand, rows
+    return c, ((rows + c - 1) // c) * c
+
+
+def _tile_pair(volume: jnp.ndarray, mask: jnp.ndarray):
+    b = volume.shape[0]
+    n_elems = 1
+    for s in volume.shape[1:]:
+        n_elems *= s
+    chunk, rows = _pick_chunk(_padded_rows(n_elems))
+    vol_t = _to_tiles(volume.reshape(b, n_elems).astype(jnp.float32), rows)
+    mask_t = _to_tiles(mask.reshape(b, n_elems).astype(jnp.float32), rows)
+    return vol_t, mask_t, chunk, n_elems
+
+
+def _select_tiled(vol_t, mask_t, qs: tuple, chunk: int, interpret: bool):
+    """(B, Q) exact quantiles from pre-tiled (B, rows, 128) operands."""
+    b = vol_t.shape[0]
+    qs_arr = jnp.asarray(qs, jnp.float32)
+    out = pl.pallas_call(
+        _minmax_select_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, _SUBLANES, _LANES), jnp.int32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # qs (Q,)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, _LANES), jnp.float32),     # vol bufs
+            pltpu.VMEM((2, chunk, _LANES), jnp.float32),     # mask bufs
+            pltpu.VMEM((vol_t.shape[1], _LANES), jnp.int32),  # radix keys
+            pltpu.SMEM((1, 4), jnp.float32),                 # valid count
+            pltpu.SemaphoreType.DMA((2, 2)),                 # in sems
+        ],
+        interpret=interpret,
+    )(qs_arr, vol_t, mask_t)
+
+    # Decode: monotone-key inverse (self-inverse XOR map) + the same f32
+    # linear-interpolation rank arithmetic as ops/quantile.py.
+    def key_to_f32(k):
+        bits = k ^ ((k >> 31) & jnp.int32(0x7FFFFFFF))
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+    n = out[:, 0, 0].astype(jnp.float32)                      # (B,)
+    idx = 1 + 2 * jnp.arange(len(qs))
+    v_lo = key_to_f32(out[:, 0, idx])                         # (B, Q)
+    v_hi = key_to_f32(out[:, 0, idx + 1])
+    rank = qs_arr[None, :] * (n[:, None] - 1.0)
+    frac = rank - jnp.floor(rank)
+    return v_lo + frac * (v_hi - v_lo)
+
+
+@functools.partial(jax.jit, static_argnames=("qs", "interpret"))
+def batched_masked_quantiles(volume: jnp.ndarray, mask: jnp.ndarray,
+                             qs: tuple, interpret: bool = False):
+    """Exact per-scan quantiles of the nonzero masked voxels (batched).
+
+    Exact vs ``ops.quantile.masked_nonzero_quantile`` (the XLA full-sort
+    oracle): the selected order statistics are bit-identical and the final
+    linear interpolation agrees to 1 ulp (XLA FMA-contraction freedom).
+    9.3x faster at 91^3/batch-128 on v5e (34 ms vs
+    319 ms for the fused select+apply, measured round 3): one streamed
+    read of vol+mask builds order-preserving int32 radix keys in VMEM,
+    then a 32-pass MSB-first binary-search selection per rank runs
+    entirely on the VMEM-resident keys — one signed compare + add per
+    element per bit (the sort path instead sorts ~903k f32 per scan per
+    step). The remaining 34 ms is VPU compute on the 32 selection passes,
+    within ~2x of the vector-unit bound; HBM traffic is ~2 ms.
+
+    Args:
+      volume: (B, ...) float32 volumes.
+      mask: (B, ...) binary masks (or ones), same shape.
+      qs: static tuple of quantile levels in [0, 1].
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns:
+      (B, len(qs)) float32, matching torch.quantile(..., 'linear') over
+      the {x*mask != 0} voxel set. Requires >= 2 valid voxels per scan.
+    """
+    vol_t, mask_t, chunk, _ = _tile_pair(volume, mask)
+    return _select_tiled(vol_t, mask_t, qs, chunk, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("quantile", "interpret"))
+def per_scan_minmax(volume: jnp.ndarray, mask: jnp.ndarray,
+                    quantile: float = 0.99,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused quantile min-max normalization (batched, one jit).
+
+    ``(x - Q(1-q)) / (Q(q) - Q(1-q))`` clamped to [0,1] and re-masked
+    (reference: dataloader.py:261-270), with exact quantiles from the
+    radix-select kernel. Tiling/padding is shared between the select and
+    apply kernels so vol+mask are padded once per step.
+    """
+    shape = volume.shape
+    b = shape[0]
+    vol_t, mask_t, chunk, n_elems = _tile_pair(volume, mask)
+    quants = _select_tiled(vol_t, mask_t, (quantile, 1.0 - quantile),
+                           chunk, interpret)
+    rows = vol_t.shape[1]
+    n_chunks = rows // chunk
+    q = jnp.stack([quants[:, 1], quants[:, 0]], axis=1)  # (B, 2) min,max
+    out = pl.pallas_call(
+        _minmax_apply_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, rows, _LANES), jnp.float32),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, _LANES), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, _LANES), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, _LANES), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, vol_t, mask_t)
+    return out.reshape(b, rows * _LANES)[:, :n_elems].reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -148,6 +148,84 @@ def test_pallas_minmax_apply_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("qs", [(0.99, 0.01), (1.0, 0.0), (0.5,)])
+def test_pallas_radix_select_matches_sort_oracle(qs):
+    """The radix-select kernel replaces the full-sort oracle on the
+    production TPU min_max path. The selected order statistics are
+    bit-identical; the final linear interpolation may differ by 1 ulp
+    because XLA's FMA contraction of v_lo + frac*(v_hi - v_lo) varies
+    between the two separately-jitted programs — hence rtol ~1 f32 ulp."""
+    vols = np.stack([_volume_and_mask(seed=s)[0] for s in (12, 13, 14)])
+    masks = np.stack([_volume_and_mask(seed=s)[1] for s in (12, 13, 14)])
+    got = pallas_norm.batched_masked_quantiles(
+        jnp.asarray(vols), jnp.asarray(masks), qs, interpret=True)
+    want = np.stack([
+        np.asarray(masked_nonzero_quantile(jnp.asarray(v), jnp.asarray(m),
+                                           qs))
+        for v, m in zip(vols, masks)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-7, atol=0)
+
+
+def test_pallas_radix_select_duplicates_and_negatives():
+    """Heavy duplicates (integer-valued floats) exercise the cnt_le >
+    lo+1 branch of the hi pass; negatives exercise the sign-flip keys."""
+    rng = np.random.default_rng(15)
+    vols = np.round(rng.normal(size=(2,) + SHAPE) * 4).astype(np.float32)
+    masks = np.ones_like(vols)
+    qs = (0.99, 0.01, 0.5)
+    got = pallas_norm.batched_masked_quantiles(
+        jnp.asarray(vols), jnp.asarray(masks), qs, interpret=True)
+    want = np.stack([
+        np.asarray(masked_nonzero_quantile(jnp.asarray(v), jnp.asarray(m),
+                                           qs))
+        for v, m in zip(vols, masks)])
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pallas_per_scan_minmax_matches_oracle():
+    """Fused select+apply vs the sort-oracle path; tolerance covers the
+    1-ulp FMA-contraction freedom in the quantile interpolation (see
+    test_pallas_radix_select_matches_sort_oracle)."""
+    vols = np.stack([_volume_and_mask(seed=s)[0] for s in (16, 17)])
+    masks = np.stack([_volume_and_mask(seed=s)[1] for s in (16, 17)])
+    q = 0.99
+    want = jax.vmap(lambda v, m: mri_per_scan_minmax(v, m, q))(
+        jnp.asarray(vols), jnp.asarray(masks))
+    got = pallas_norm.per_scan_minmax(jnp.asarray(vols), jnp.asarray(masks),
+                                      q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_batched_normalize_mri_dispatch():
+    from multimodal_alzheimer_tpu.ops.normalization import (
+        batched_normalize_mri,
+    )
+
+    vols = np.stack([_volume_and_mask(seed=s)[0] for s in (18, 19)])
+    masks = np.stack([_volume_and_mask(seed=s)[1] for s in (18, 19)])
+    v, m = jnp.asarray(vols), jnp.asarray(masks)
+    np.testing.assert_allclose(
+        np.asarray(batched_normalize_mri(v, m, {"per_scan_norm":
+                                                "normalize"})),
+        np.asarray(jax.vmap(mri_per_scan_zscore)(v, m)))
+    np.testing.assert_allclose(
+        np.asarray(batched_normalize_mri(v, m, {"per_scan_norm": "min_max"},
+                                         0.98)),
+        np.asarray(jax.vmap(lambda a, b: mri_per_scan_minmax(a, b, 0.98))(
+            v, m)), rtol=1e-6, atol=1e-7)
+    # mask=None means all voxels valid
+    np.testing.assert_allclose(
+        np.asarray(batched_normalize_mri(v, None,
+                                         {"per_scan_norm": "normalize"})),
+        np.asarray(jax.vmap(mri_per_scan_zscore)(v, jnp.ones_like(v))))
+    assert batched_normalize_mri(v, m, None) is v
+    with pytest.raises(ValueError):
+        batched_normalize_mri(v, m, {"per_scan_norm": "bogus"})
+    with pytest.raises(ValueError):
+        batched_normalize_mri(v, m, {"bogus": 1})
+
+
 def test_compute_split_stats_matches_reference_estimator():
     """standardization.py:34-55 mean-of-means estimator parity."""
     rng = np.random.default_rng(11)
