@@ -30,6 +30,7 @@ class Predictor:
             return {"logits": out["logits"], "probs": probs,
                     "embeddings": out["embeddings"]}
 
+        self._raw_fn = fn  # un-jitted, for composition (scan/export/bench)
         self._fn = jax.jit(fn)
         if mesh is not None:
             from multimodal_alzheimer_tpu.parallel import (

@@ -52,7 +52,9 @@ def make_train_step(model, criterion: Callable, optimizer,
 
     def train_step(state: TrainState, batch: dict, dropout_rng):
         if preprocess is not None:
-            batch = preprocess(batch)
+            # named_scope: profiler attribution only (tools/profile_step.py)
+            with jax.named_scope("preprocess"):
+                batch = preprocess(batch)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -67,13 +69,14 @@ def make_train_step(model, criterion: Callable, optimizer,
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-        # LR-plateau scale: updates are linear in lr, so scaling them is
-        # exactly an lr change while preserving Adam moments.
-        updates = jax.tree_util.tree_map(
-            lambda u: u * state.lr_scale, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        with jax.named_scope("optimizer"):
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            # LR-plateau scale: updates are linear in lr, so scaling them
+            # is exactly an lr change while preserving Adam moments.
+            updates = jax.tree_util.tree_map(
+                lambda u: u * state.lr_scale, updates)
+            new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state)

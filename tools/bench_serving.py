@@ -1,0 +1,192 @@
+"""Serving-path benchmark: Predictor + exported-artifact throughput.
+
+Measures the production inference surfaces on the real chip (the
+reference has neither — it only evaluates via Lightning trainer.test):
+
+1. ``inference.predictor.Predictor``'s jitted serve computation —
+   softmax'd logits + embedding taps with the production quantile
+   min-max MRI normalization fused into the jit (reference
+   preprocessing: pkg/utils/dataloader.py:261-270). Device-resident
+   input: on this rig repeated large host->device transfers through the
+   axon tunnel degrade monotonically (a tunnel property measured in
+   round 2 — 145 -> 5 vol/s across identical runs), so host-path
+   numbers say nothing about the serving stack. Pass ``--host`` to
+   measure the full host->host ``predict_batch`` anyway (includes
+   padding, H2D and D2H).
+2. ``inference.export`` — the StableHLO artifact round-trip
+   (export -> serialize -> deserialize -> call), same fused
+   preprocessing, device-resident input.
+
+Timing methodology: ``jax.block_until_ready`` is NOT trusted here — on
+this rig it can return in <1 ms while the dispatched executions are
+still in flight behind the tunnel (measured live; a subsequent scalar
+fetch then absorbs all the queued work). Per CLAUDE.md, only
+chained-state end-to-end loops are reliable, so:
+
+* the Predictor number comes from a ``lax.scan`` of K serve steps with
+  a data dependency between iterations (the step's probs perturb the
+  next step's input by 1e-20), timed around a real scalar fetch;
+* the exported-artifact number comes from K sequential ``call``s timed
+  around a real data fetch of the LAST output (executions on the single
+  device stream are ordered, so the fetch drains all K), with the
+  fetch-only overhead measured separately and reported.
+
+Prints one human line per surface to stderr and a JSON summary line to
+stdout. Run: ``python tools/bench_serving.py [--batch 128] [--host]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOLUME_SHAPE = (91, 109, 91)
+
+
+def _host_batch(batch_size: int, rng):
+    return {
+        "mri": rng.normal(900, 400, (batch_size,) + VOLUME_SHAPE)
+        .astype(np.float32),
+        "mri_mask": (rng.random((batch_size,) + VOLUME_SHAPE) > 0.35)
+        .astype(np.float32),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--host", action="store_true",
+                        help="also measure host->host predict_batch "
+                             "(tunnel-bound on remote-TPU rigs)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.inference.export import (
+        export_model,
+        load_exported,
+    )
+    from multimodal_alzheimer_tpu.inference.predictor import Predictor
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.ops.normalization import (
+        batched_normalize_mri,
+    )
+
+    b = args.batch
+    model = AnatCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
+         "batchnorm_begin": False, "lr": 1e-3}, dtype=jnp.bfloat16)
+
+    def preprocess(batch):
+        out = dict(batch)
+        out["mri"] = batched_normalize_mri(
+            out["mri"], out.pop("mri_mask"),
+            {"per_scan_norm": "min_max"}, 0.99)
+        return out
+
+    rng = np.random.default_rng(0)
+    host = _host_batch(b, rng)
+    dev = {k: jnp.asarray(v) for k, v in host.items()}
+    variables = model.init(jax.random.PRNGKey(0), preprocess(dev),
+                           train=False)
+
+    results = {}
+    pred = Predictor(model, variables, batch_size=b, preprocess=preprocess)
+
+    # --- Predictor's jitted serve fn: scan-chained ground truth. ---
+    # Each iteration's probs perturb the next iteration's input, so XLA
+    # cannot overlap or elide iterations; the final scalar fetch is real
+    # data and cannot return before all K executions finish.
+    serve_core = pred._raw_fn
+
+    @jax.jit
+    def chained(variables, batch, tag0):
+        def body(carry, _):
+            mri, tag = carry
+            out = serve_core(variables,
+                             {"mri": mri + tag, "mri_mask": batch["mri_mask"]})
+            new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
+            return (mri, new_tag), ()
+        (mri, tag), _ = jax.lax.scan(
+            body, (batch["mri"], tag0), None, length=args.iters)
+        return tag
+
+    tag0 = jnp.float32(0.0)
+    float(chained(pred.variables, dev, tag0))  # compile + warm
+    t0 = time.perf_counter()
+    tag = float(chained(pred.variables, dev, tag0))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(tag)
+    results["predictor_fn_vol_s"] = round(b * args.iters / dt, 1)
+    results["predictor_fn_batch_ms"] = round(dt / args.iters * 1000, 1)
+    print(f"Predictor jitted serve (batch {b}, min-max fused, logits+"
+          f"probs+embeddings, scan-chained x{args.iters}): "
+          f"{results['predictor_fn_vol_s']} vol/s "
+          f"({results['predictor_fn_batch_ms']} ms/batch)",
+          file=sys.stderr)
+
+    # --- Exported StableHLO artifact round-trip. ---
+    blob = export_model(model, variables, dev, preprocess=preprocess)
+    results["artifact_mb"] = round(len(blob) / 1e6, 1)
+    serve = load_exported(blob)
+
+    def drain(out):
+        # Real data fetch: cannot complete before every execution queued
+        # ahead of it on the device stream has finished.
+        return float(np.asarray(out["probs"]).sum())
+
+    drain(serve(dev))  # compile + warm
+    # Fetch-only overhead bound: one warm call, then timed fetch.
+    out = serve(dev)
+    t0 = time.perf_counter()
+    drain(out)
+    fetch_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = serve(dev)
+    drain(out)
+    dt = time.perf_counter() - t0
+    results["exported_vol_s"] = round(b * args.iters / dt, 1)
+    results["exported_fetch_ms"] = round(fetch_s * 1000, 1)
+    print(f"Exported artifact ({results['artifact_mb']} MB, reloaded, "
+          f"x{args.iters} + drain): {results['exported_vol_s']} vol/s "
+          f"(probs-fetch overhead {results['exported_fetch_ms']} ms, "
+          f"included once)", file=sys.stderr)
+
+    if args.host:
+        # Full host->host path incl. padding + H2D + D2H. Tunnel-bound
+        # on remote-TPU rigs — see module docstring.
+        pred.predict_batch(host)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            pred.predict_batch(host)
+        dt = time.perf_counter() - t0
+        results["predictor_host_vol_s"] = round(b * args.iters / dt, 1)
+        print(f"Predictor host->host (padded batch {b}): "
+              f"{results['predictor_host_vol_s']} vol/s", file=sys.stderr)
+
+        one = {k: v[:1] for k, v in host.items()}
+        pred.predict_batch(one)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            pred.predict_batch(one)
+        results["predictor_1vol_latency_ms"] = round(
+            (time.perf_counter() - t0) / args.iters * 1000, 1)
+        print(f"Predictor single-volume latency (padded to {b}): "
+              f"{results['predictor_1vol_latency_ms']} ms",
+              file=sys.stderr)
+
+    print(json.dumps({"metric": "serving", "batch": b, **results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Step-time budget profiler: region-by-region ms table of the flagship
+train step (VERDICT round-2 item 7 — make the measured MFU auditable).
+
+Runs bench.py's flagship train step (ResNet-18 3D @ 91x109x91, bf16,
+batch 128) under ``jax.profiler.trace``, parses the resulting Perfetto
+trace, and attributes every device-track event to a model region by
+joining the XLA fusion name against the compiled HLO's ``op_name``
+metadata (the recipe CLAUDE.md records from the round-2 profile).
+
+Output: a region -> ms table on stderr summing to the measured step
+time, plus one JSON line on stdout for records.
+
+Run: ``python tools/profile_step.py [--batch 128] [--steps 3]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (sets up the compilation cache before jax use)
+
+
+def _fusion_opnames(hlo_text: str) -> dict:
+    """Map computation/instruction name -> set of op_name metadata strings.
+
+    Fusion instructions carry the representative op's metadata; the fused
+    computation's body instructions carry their own. We collect both: the
+    trace names events after the fusion instruction (e.g. 'fusion.123'),
+    and region classification wants every op_name inside that fusion.
+    """
+    # instruction -> its own op_name
+    inst_op = {}
+    # fusion instruction -> called computation name
+    fusion_calls = {}
+    # computation name -> list of op_names of its instructions
+    comp_ops: dict = {}
+    current_comp = None
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*%?([\w.\-]+)\s*(?:\([^)]*\))?\s*=", line)
+        cm = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s+\(", line)
+        if "=" not in line and cm:
+            current_comp = cm.group(1)
+            comp_ops.setdefault(current_comp, [])
+        if not m:
+            continue
+        name = m.group(1)
+        om = re.search(r'op_name="([^"]*)"', line)
+        if om and current_comp is not None:
+            comp_ops.setdefault(current_comp, []).append(om.group(1))
+        if om:
+            inst_op[name] = om.group(1)
+        fm = re.search(r"(?:calls|fusion)=%?([\w.\-]+)", line)
+        if "fusion(" in line or "kind=k" in line:
+            if fm:
+                fusion_calls[name] = fm.group(1)
+    return {"inst_op": inst_op, "fusion_calls": fusion_calls,
+            "comp_ops": comp_ops}
+
+
+REGIONS = (
+    # (region, patterns matched against the joined op_name strings).
+    # Order matters: block-internal conv1/bn1 names live under
+    # layer{N}_block{M}/ scopes, so the layer patterns must win before
+    # the stem's top-level conv1/bn1 patterns.
+    ("preprocess", (r"preprocess", r"normalize", r"quantile", r"zscore",
+                    r"radix")),
+    ("optimizer", (r"optimizer",)),
+    ("layer1", (r"layer1",)),
+    ("layer2", (r"layer2",)),
+    ("layer3", (r"layer3",)),
+    ("layer4", (r"layer4",)),
+    ("maxpool", (r"max_pool", r"select_and_scatter", r"reduce_window",
+                 r"maxpool", r"SelectAndScatter")),
+    ("stem", (r"conv1", r"bn1", r"stem", r"space_to_depth",
+              r"SpaceToDepth")),
+    ("head_loss", (r"head", r"Dense", r"loss", r"softmax", r"log_softmax",
+                   r"cross_entropy", r"logits", r"one_hot")),
+)
+
+
+def classify(op_names) -> str:
+    votes: dict = {}
+    for op in op_names:
+        for region, pats in REGIONS:
+            if any(re.search(p, op) for p in pats):
+                votes[region] = votes.get(region, 0) + 1
+                break
+    if not votes:
+        return "other"
+    return max(votes, key=votes.get)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--dump-hlo", action="store_true")
+    ap.add_argument("--keep-trace", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    step, state, batch, rng = bench.build_step(args.batch)
+    lowered = step.lower(state, batch, rng)
+    compiled = lowered.compile()
+    hlo_text = compiled.as_text()
+    meta = _fusion_opnames(hlo_text)
+    if args.dump_hlo:
+        with open("/tmp/profile_step_hlo.txt", "w") as f:
+            f.write(hlo_text)
+        print("HLO dumped to /tmp/profile_step_hlo.txt", file=sys.stderr)
+
+    # Warm up (also populates the compile cache / tunnel session).
+    for _ in range(3):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+
+    logdir = tempfile.mkdtemp(prefix="profile_step_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(args.steps):
+        state, aux = step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    float(aux["loss"])  # real fetch: the tunnel's block can under-wait
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(
+        logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not traces:
+        print(json.dumps({"error": "no trace produced", "logdir": logdir}))
+        return
+    with gzip.open(traces[0], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+
+    # Device-track pids: process names containing TPU/device. XLA traces
+    # name them like '/device:TPU:0' or 'TPU:0 ...'.
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    dev_pids = {pid for pid, name in pid_names.items()
+                if "TPU" in name.upper() or "device" in name.lower()}
+    # Exclude host-side threads of the device process (e.g. 'TPU runtime').
+    tid_names = {(e["pid"], e["tid"]): e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "thread_name"
+                 and "args" in e}
+
+    per_name: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        tname = tid_names.get((e["pid"], e.get("tid")), "")
+        if any(k in tname.lower() for k in ("host", "runtime", "infeed")):
+            continue
+        per_name.setdefault(e["name"], [0.0, 0, tname])
+        per_name[e["name"]][0] += e.get("dur", 0) / 1000.0  # us -> ms
+        per_name[e["name"]][1] += 1
+
+    # Join trace event names to HLO instructions and classify.
+    region_ms: dict = {}
+    unmatched = []
+    for name, (ms, count, tname) in per_name.items():
+        base = name.split("/")[-1]
+        ops = []
+        if base in meta["inst_op"]:
+            ops.append(meta["inst_op"][base])
+        comp = meta["fusion_calls"].get(base)
+        if comp and comp in meta["comp_ops"]:
+            ops.extend(meta["comp_ops"][comp])
+        # Trace names often ARE the fused-computation names.
+        if base in meta["comp_ops"]:
+            ops.extend(meta["comp_ops"][base])
+        if not ops:
+            ops = [name]
+            unmatched.append((ms, name))
+        region = classify(ops)
+        region_ms[region] = region_ms.get(region, 0.0) + ms
+
+    total = sum(region_ms.values()) / args.steps
+    print(f"\n== step-time budget (batch {args.batch}, {args.steps} traced "
+          f"steps, device-track ms / step) ==", file=sys.stderr)
+    for region in sorted(region_ms, key=region_ms.get, reverse=True):
+        ms = region_ms[region] / args.steps
+        print(f"  {region:<12} {ms:8.1f} ms  ({100 * ms / total:4.1f}%)",
+              file=sys.stderr)
+    print(f"  {'TOTAL':<12} {total:8.1f} ms", file=sys.stderr)
+    unmatched.sort(reverse=True)
+    if unmatched:
+        print("\ntop unmatched event names (classified by name only):",
+              file=sys.stderr)
+        for ms, name in unmatched[:10]:
+            print(f"  {ms / args.steps:8.1f} ms  {name}", file=sys.stderr)
+
+    # Top individual events for drill-down.
+    top = sorted(per_name.items(), key=lambda kv: kv[1][0], reverse=True)
+    print("\ntop events:", file=sys.stderr)
+    for name, (ms, count, tname) in top[:25]:
+        base = name.split("/")[-1]
+        ops = meta["comp_ops"].get(base) or (
+            [meta["inst_op"][base]] if base in meta["inst_op"] else [])
+        hint = ops[0] if ops else ""
+        print(f"  {ms / args.steps:8.1f} ms x{count:<3} {name[:60]:<60} "
+              f"{hint[:70]}", file=sys.stderr)
+
+    if not args.keep_trace:
+        import shutil
+
+        shutil.rmtree(logdir, ignore_errors=True)
+    else:
+        print(f"trace kept: {traces[0]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "step_budget_ms",
+        "batch": args.batch,
+        "regions": {k: round(v / args.steps, 1)
+                    for k, v in region_ms.items()},
+        "total_ms": round(total, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
