@@ -14,17 +14,19 @@ utilization (MFU)**:
 
     vs_baseline = value [vol/s] x FLOPs_per_volume / chip_peak_FLOPs
 
-where FLOPs_per_volume comes from the compiled step's own
-``cost_analysis()`` (fwd + bwd + Adam + on-device preprocessing; printed
-to stderr) and chip_peak_FLOPs from the device kind (TPU v5e: 197 TFLOP/s
-bf16). Every term is measured or a public hardware spec; a reader can
-recompute it from the stderr lines. H100 roofline context (the arithmetic
-BASELINE.md's north star discussion uses): at the same per-volume FLOPs F,
-an H100 SXM is bounded by 989 TFLOP/s (bf16 dense) / F at 100% MFU —
-e.g. F = 271 GFLOP -> <= 3653 vol/s ceiling, or ~1650 vol/s at a generous
-45% MFU. Per-chip peak ratio v5e:H100 is 197:989, so "per-chip speedup"
-claims degenerate to an MFU comparison — which is exactly what
-vs_baseline now reports for this chip.
+where FLOPs_per_volume is the analytic conv fwd+dgrad+wgrad count
+(``analytic_flops_per_volume``; 444.9 GFLOP — XLA's ``cost_analysis()``
+undercounts by omitting the wgrad convolutions, see BASELINE.md's
+round-3 audit; its value is still printed as a cross-check) and
+chip_peak_FLOPs from the device kind (TPU v5e: 197 TFLOP/s bf16). Every
+term is measured, analytic from printed shapes, or a public hardware
+spec; a reader can recompute it from the stderr lines. H100 roofline
+context (the arithmetic BASELINE.md's north star discussion uses): at
+the same per-volume FLOPs F, an H100 SXM is bounded by 989 TFLOP/s (bf16
+dense) / F at 100% MFU — e.g. F = 444.9 GFLOP -> <= 2223 vol/s ceiling,
+or ~1000 vol/s at a generous 45% MFU. Per-chip peak ratio v5e:H100 is
+197:989, so "per-chip speedup" claims degenerate to an MFU comparison —
+which is exactly what vs_baseline reports for this chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -125,11 +127,46 @@ def build_step(batch_size: int, dtype_name: str = "bfloat16"):
 
 
 def step_flops(batch_size: int) -> float:
-    """Per-volume FLOPs of the compiled train step (XLA cost_analysis)."""
+    """Per-volume FLOPs of the compiled train step (XLA cost_analysis).
+
+    KNOWN UNDERCOUNT (BASELINE.md round-3 audit): cost_analysis reports
+    270.7 GFLOP/volume for this step, which matches fwd+dgrad only
+    (analytic 294.9) — it omits the weight-gradient convolutions. Kept
+    for continuity/cross-checking; MFU uses analytic_flops_per_volume.
+    """
     step, state, batch, rng = build_step(batch_size)
     ca = step.lower(state, batch, rng).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     return float(ca["flops"]) / batch_size
+
+
+def analytic_flops_per_volume() -> float:
+    """Analytic train-step conv FLOPs/volume of the flagship model.
+
+    2*taps*Cin*Cout*out_voxels per conv; fwd + dgrad + wgrad per layer
+    (dgrad == wgrad == fwd FLOPs for a convolution), except conv1 whose
+    input gradient is never materialized (the image is not a
+    differentiated variable). BN/ReLU/pool/head/Adam FLOPs are O(voxels)
+    and negligible next to the convs. Region-by-region audit against
+    measured fusion times: BASELINE.md "Round-3 step-time budget" (the
+    layer-4 entries independently reproduce the round-2 per-fusion
+    ~190 TFLOP/s measurement, which cost_analysis's total contradicts).
+    """
+    def conv(k, cin, cout, vox):
+        return 2 * k * cin * cout * vox
+
+    v_stem = 46 * 55 * 46    # conv1 stride-2 output on (91,109,91)
+    v_l1 = 23 * 28 * 23      # after stride-2 maxpool
+    v_l2 = 12 * 14 * 12      # after layer2 stride 2; layers 3-4 dilated
+    stem = 2 * conv(343, 1, 64, v_stem)            # fwd + wgrad, no dgrad
+    layer1 = 3 * 4 * conv(27, 64, 64, v_l1)
+    layer2 = 3 * (conv(27, 64, 128, v_l2) + 3 * conv(27, 128, 128, v_l2)
+                  + conv(1, 64, 128, v_l2))
+    layer3 = 3 * (conv(27, 128, 256, v_l2) + 3 * conv(27, 256, 256, v_l2)
+                  + conv(1, 128, 256, v_l2))
+    layer4 = 3 * (conv(27, 256, 512, v_l2) + 3 * conv(27, 512, 512, v_l2)
+                  + conv(1, 256, 512, v_l2))
+    return float(stem + layer1 + layer2 + layer3 + layer4)  # 444.9e9
 
 
 def measure(batch_size: int, warmup: int = 3, iters: int = 10):
@@ -305,6 +342,31 @@ def measure_all_configs():
                               "lr": 1e-3}, dtype=jnp.bfloat16),
         {**mri_batch(b), "label": labels(b)}, w, pre_mri_minmax)
 
+    # Steady-state production min-max: the dataset memoizes per-scan
+    # quantiles (training-invariant, data/dataset.py:_minmax_bounds) so
+    # the step only pays the elementwise apply, not the 32-pass radix
+    # selection. The (B, 2) bounds ride the batch like tabular features.
+    def pre_mri_minmax_memo(batch):
+        out = dict(batch)
+        qmm = out.pop("mri_qminmax")
+        out["mri"] = batched_normalize_mri(
+            out["mri"], out.pop("mri_mask"),
+            {"per_scan_norm": "min_max"}, 0.99, qminmax=qmm)
+        return out
+
+    from multimodal_alzheimer_tpu.ops.pallas_norm import (
+        batched_masked_quantiles,
+    )
+
+    mb = mri_batch(b)
+    quants = batched_masked_quantiles(mb["mri"], mb["mri_mask"],
+                                      (0.01, 0.99))
+    results["mri_resnet18_minmax_memo"] = _measure_generic(
+        AnatCNN.from_hparams({**mri_hp, "batchnorm_begin": False,
+                              "lr": 1e-3}, dtype=jnp.bfloat16),
+        {**mb, "mri_qminmax": quants, "label": labels(b)}, w,
+        pre_mri_minmax_memo)
+
     b = 64
     results["pet_mri_late_fusion"] = _measure_generic(
         AnatPETFusion.from_hparams({"n_classes": 3}, pet_hp, mri_hp,
@@ -395,16 +457,17 @@ def main():
     per_chip = value / n_chips
 
     # Measured MFU: every term below is printed so vs_baseline is
-    # recomputable by a reader (see module docstring).
-    try:
-        flops_per_vol = step_flops(batch_size)
-    except Exception as e:
-        print(f"cost_analysis unavailable ({e}); assuming 270.7 GFLOP/vol "
-              "(v5e-measured value for this model)", file=sys.stderr)
-        flops_per_vol = 270.7e9
+    # recomputable by a reader (see module docstring). Analytic FLOPs are
+    # the honest numerator — cost_analysis omits the wgrad convolutions
+    # (BASELINE.md round-3 audit: it reports 270.7 GFLOP/vol ~= the
+    # analytic fwd+dgrad-only 294.9). The cross-check is NOT recomputed
+    # here: step_flops() triggers a second remote compile that can take
+    # minutes through the tunnel; run it by hand when auditing.
+    flops_per_vol = analytic_flops_per_volume()
     achieved = per_chip * flops_per_vol
     mfu = achieved / peak
-    print(f"train step: {flops_per_vol / 1e9:.1f} GFLOP/volume "
+    print(f"train step: {flops_per_vol / 1e9:.1f} GFLOP/volume (analytic "
+          f"conv fwd+dgrad+wgrad) "
           f"-> {achieved / 1e12:.1f} TFLOP/s achieved, MFU {mfu:.3f}",
           file=sys.stderr)
     print(f"H100 context: 989 TFLOP/s bf16 / {flops_per_vol / 1e9:.1f} "

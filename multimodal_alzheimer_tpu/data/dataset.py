@@ -51,7 +51,8 @@ class MultiModalDataset:
                  quantile: float = 0.99,
                  compat_whole_brain_bug: bool = True,
                  cache_dir: Optional[str] = None,
-                 cache_dtype: Optional[str] = None):
+                 cache_dtype: Optional[str] = None,
+                 memoize_minmax: bool = True):
         self.entire_ds = pd.read_csv(path)
 
         if binary_classification == 2:
@@ -117,11 +118,61 @@ class MultiModalDataset:
             from multimodal_alzheimer_tpu.data.cache import VolumeCache
 
             self._cache = VolumeCache(cache_dir, dtype=cache_dtype)
+        # Per-scan min-max quantiles depend only on the raw volume —
+        # training-invariant — so memoize them per sample and let the
+        # device preprocess skip the per-step quantile selection (the
+        # radix-select kernel costs ~34 ms/step at batch 128; the memoized
+        # apply-only path is elementwise). In-memory always; persisted as
+        # sidecars next to the volume cache when one is configured.
+        self.memoize_minmax = bool(
+            memoize_minmax and self.normalize_mri
+            and self.normalize_mri.get("per_scan_norm") == "min_max")
+        self._minmax_memo: Dict[int, np.ndarray] = {}
 
     def _load_volume(self, path):
         if self._cache is not None:
             return self._cache.get(path)
         return native_io.decode(path)
+
+    def _minmax_bounds(self, index, mri_path, mask_path, mri, mask):
+        """(2,) f32 [Q(1-q), Q(q)] of this sample, memoized.
+
+        Computed with the same f32 rank arithmetic as the device paths
+        (ops/quantile.py:host_masked_nonzero_quantile) from exactly the
+        arrays the device would see (post dtype narrowing), so the
+        normalized output matches the in-step selection to ~1 ulp.
+        In-memory per instance; persisted as a tiny sidecar next to the
+        volume cache when ``cache_dir`` is configured.
+        """
+        memo = self._minmax_memo.get(index)
+        if memo is not None:
+            return memo
+        entry = None
+        if self._cache is not None:
+            import hashlib
+
+            token = (f"{mri_path}|{mask_path}|{self.quantile}"
+                     f"|{self._vol_dtype.name}|qminmax")
+            entry = (self._cache.cache_dir
+                     / f"{hashlib.sha1(token.encode()).hexdigest()[:24]}"
+                       f".q.npy")
+            if entry.exists():
+                memo = np.load(entry)
+        if memo is None:
+            from multimodal_alzheimer_tpu.ops.quantile import (
+                host_masked_nonzero_quantile,
+            )
+
+            memo = host_masked_nonzero_quantile(
+                mri, mask, (1.0 - self.quantile, self.quantile))
+            if entry is not None:
+                import os
+
+                tmp = entry.with_suffix(".tmp.npy")
+                np.save(tmp, memo)
+                os.replace(tmp, entry)  # atomic vs concurrent writers
+        self._minmax_memo[index] = memo
+        return memo
 
     # ------------------------------------------------------------------ #
 
@@ -156,6 +207,14 @@ class MultiModalDataset:
                     and mask_path is not None):
                 data["mri_mask"] = np.asarray(self._load_volume(mask_path),
                                               dtype=self._vol_dtype)
+            # Memoized per-scan min-max bounds (training-invariant): the
+            # device preprocess then skips the per-step quantile selection.
+            # Never memoized under a transform hook — it could be a random
+            # augmentation, making cached bounds wrong.
+            if self.memoize_minmax and self.transform_mri is None:
+                data["mri_qminmax"] = self._minmax_bounds(
+                    index, mri_path, mask_path, data["mri"],
+                    data.get("mri_mask"))
 
         if sample.get("AGE") is not None:
             data["tabular"] = tabular_vector(
@@ -174,6 +233,7 @@ class MultiModalDataset:
         from multimodal_alzheimer_tpu.ops import normalize_mri, normalize_pet
 
         data = self[index]
+        data.pop("mri_qminmax", None)  # host path recomputes quantiles
         if "pet1451" in data and self.normalize_pet:
             data["pet1451"] = np.asarray(normalize_pet(
                 jnp.asarray(data["pet1451"]),
@@ -217,10 +277,11 @@ class MultiModalDataset:
                 out["pet1451"] = normalize_pet(
                     out["pet1451"], normalize_pet_cfg["mean"],
                     normalize_pet_cfg["std"])
+            qminmax = out.pop("mri_qminmax", None)
             if "mri" in out and normalize_mri_cfg:
                 out["mri"] = batched_normalize_mri(
                     out["mri"], out.pop("mri_mask", None),
-                    normalize_mri_cfg, quantile)
+                    normalize_mri_cfg, quantile, qminmax=qminmax)
             out.pop("mri_mask", None)
             return out
 

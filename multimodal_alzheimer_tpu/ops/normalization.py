@@ -112,13 +112,35 @@ def batched_mri_per_scan_minmax(volume: jnp.ndarray, mask: jnp.ndarray,
     return per_scan_minmax(volume, mask, quantile)
 
 
+def batched_minmax_apply(volume: jnp.ndarray, mask: jnp.ndarray,
+                         qmin: jnp.ndarray, qmax: jnp.ndarray) -> jnp.ndarray:
+    """(x - qmin)/(qmax - qmin) -> clamp [0,1] -> remask with given (B,)
+    per-scan quantiles — the memoized production min-max path.
+
+    Per-scan quantiles depend only on the raw volume (training-invariant),
+    so the dataset memoizes them per sample (data/dataset.py) and the step
+    only pays this elementwise pass instead of the 32-pass radix selection
+    every step. Pallas-fused on TPU, plain XLA elsewhere.
+    """
+    if jax.default_backend() == "tpu":
+        from multimodal_alzheimer_tpu.ops.pallas_norm import minmax_apply
+
+        return minmax_apply(volume, mask, qmin, qmax)
+    expand = (slice(None),) + (None,) * (volume.ndim - 1)
+    out = (volume - qmin[expand]) / (qmax - qmin)[expand]
+    return jnp.clip(out, 0.0, 1.0) * mask
+
+
 def batched_normalize_mri(volume: jnp.ndarray, mask: jnp.ndarray | None,
                           normalize_mri_cfg: dict | None,
-                          quantile: float = 0.99) -> jnp.ndarray:
+                          quantile: float = 0.99,
+                          qminmax: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batch-level ``normalize_mri`` dispatch (fast paths where they exist).
 
     Semantics of ``vmap(normalize_mri)`` over a (B, ...) volume batch; the
-    min_max mode routes through the Pallas radix-select quantiles on TPU.
+    min_max mode routes through the Pallas radix-select quantiles on TPU,
+    or — when ``qminmax`` (B, 2) [Q(1-q), Q(q)] memoized per-scan
+    quantiles are supplied — skips the selection entirely.
     """
     if normalize_mri_cfg is None:
         return volume
@@ -131,6 +153,9 @@ def batched_normalize_mri(volume: jnp.ndarray, mask: jnp.ndarray | None,
             return jax.vmap(mri_per_scan_zscore)(volume, mask)
         if mode == "min_max":
             assert 0.0 <= quantile <= 1.0
+            if qminmax is not None:
+                return batched_minmax_apply(volume, mask,
+                                            qminmax[:, 0], qminmax[:, 1])
             return batched_mri_per_scan_minmax(volume, mask, quantile)
         raise ValueError(
             'If you want to normalize per scan you have to pass either '

@@ -63,6 +63,37 @@ def masked_nonzero_quantile(
     return v_lo + frac * (v_hi - v_lo)
 
 
+def host_masked_nonzero_quantile(volume, mask, qs) -> "np.ndarray":
+    """Numpy twin of :func:`masked_nonzero_quantile` for host-side memoing.
+
+    Exact selection via ``np.partition`` with the same f32 rank arithmetic
+    as the device paths (rank = q*(n-1) in f32; linear interpolation in
+    f32), so memoized values agree with the Pallas radix-select kernel on
+    the selected order statistics bit-for-bit and with the interpolated
+    result to ~1 ulp. Used by data/dataset.py to compute per-sample
+    min-max bounds once (they depend only on the raw volume, not on
+    training state) instead of every step.
+    """
+    import numpy as np
+
+    vals = volume.astype(np.float32, copy=False).ravel()
+    if mask is not None:
+        vals = vals * mask.astype(np.float32, copy=False).ravel()
+    vals = vals[vals != 0.0]
+    n = vals.size
+    if n < 2:
+        raise ValueError(f"need >= 2 valid voxels, got {n}")
+    out = np.empty(len(qs), np.float32)
+    for i, q in enumerate(qs):
+        rank = np.float32(q) * np.float32(n - 1)
+        lo = int(np.floor(rank))
+        hi = min(lo + 1, n - 1)
+        part = np.partition(vals, (lo, hi))
+        frac = np.float32(rank) - np.float32(lo)
+        out[i] = part[lo] + frac * (part[hi] - part[lo])
+    return out
+
+
 def masked_nonzero_mean_std(
     volume: jnp.ndarray,
     mask: jnp.ndarray | None,

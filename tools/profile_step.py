@@ -156,11 +156,23 @@ def main(argv=None):
                  and "args" in e}
 
     per_name: dict = {}
+    env_by_track: dict = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         tname = tid_names.get((e["pid"], e.get("tid")), "")
         if any(k in tname.lower() for k in ("host", "runtime", "infeed")):
+            continue
+        # Envelope/container events overlap the leaf fusions and would
+        # double-count: the whole-module span ('jit_train_step(...)') on
+        # the XLA-Modules track and the per-step markers ('0', '1', ...)
+        # on the Steps track. Sum each envelope track separately; the max
+        # is the ground-truth device wall time for the traced steps.
+        if re.fullmatch(r"\d+", e["name"]) or re.fullmatch(
+                r"jit_\w+\(\d+\)", e["name"]):
+            key = (e["pid"], e.get("tid"))
+            env_by_track[key] = env_by_track.get(key, 0.0) \
+                + e.get("dur", 0) / 1000.0
             continue
         per_name.setdefault(e["name"], [0.0, 0, tname])
         per_name[e["name"]][0] += e.get("dur", 0) / 1000.0  # us -> ms
@@ -187,13 +199,15 @@ def main(argv=None):
         region_ms[region] = region_ms.get(region, 0.0) + ms
 
     total = sum(region_ms.values()) / args.steps
+    wall = max(env_by_track.values()) / args.steps if env_by_track else 0.0
     print(f"\n== step-time budget (batch {args.batch}, {args.steps} traced "
           f"steps, device-track ms / step) ==", file=sys.stderr)
     for region in sorted(region_ms, key=region_ms.get, reverse=True):
         ms = region_ms[region] / args.steps
         print(f"  {region:<12} {ms:8.1f} ms  ({100 * ms / total:4.1f}%)",
               file=sys.stderr)
-    print(f"  {'TOTAL':<12} {total:8.1f} ms", file=sys.stderr)
+    print(f"  {'TOTAL':<12} {total:8.1f} ms  (step wall {wall:.1f} ms; "
+          f"gap = scheduling bubbles)", file=sys.stderr)
     unmatched.sort(reverse=True)
     if unmatched:
         print("\ntop unmatched event names (classified by name only):",
@@ -225,6 +239,7 @@ def main(argv=None):
         "regions": {k: round(v / args.steps, 1)
                     for k, v in region_ms.items()},
         "total_ms": round(total, 1),
+        "step_wall_ms": round(wall, 1),
     }))
 
 
