@@ -126,3 +126,15 @@ def test_pairing_time_deltas():
         "max_time": pd.to_datetime(["2020-01-11", "2020-02-01"]),
     })
     np.testing.assert_array_equal(pairing_time_deltas(frame), [10, 0])
+
+
+def test_bench_analytic_flops_constant():
+    """Pin the audited flagship FLOP count (BASELINE.md round-3 audit).
+
+    444.9 GFLOP/volume = analytic conv fwd+dgrad+wgrad of the dilated
+    Med3D ResNet-18 at 91x109x91; the MFU bench.py reports divides by
+    this, so an accidental edit to the formula must fail loudly.
+    """
+    import bench
+
+    assert bench.analytic_flops_per_volume() == 444_904_047_616
