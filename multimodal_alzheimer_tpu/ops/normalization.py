@@ -120,12 +120,13 @@ def batched_minmax_apply(volume: jnp.ndarray, mask: jnp.ndarray,
     Per-scan quantiles depend only on the raw volume (training-invariant),
     so the dataset memoizes them per sample (data/dataset.py) and the step
     only pays this elementwise pass instead of the 32-pass radix selection
-    every step. Pallas-fused on TPU, plain XLA elsewhere.
+    every step. Deliberately plain XLA, NOT the Pallas apply kernel: on
+    raw (un-tiled) operands ``ops/pallas_norm.minmax_apply`` pays pad +
+    reshape + unpad copies (~3 extra full passes over the 91^3 batch),
+    while XLA fuses this whole chain into one read of vol+mask and one
+    write (the Pallas apply only wins inside ``per_scan_minmax`` where the
+    operands are already tiled for the selection kernel).
     """
-    if jax.default_backend() == "tpu":
-        from multimodal_alzheimer_tpu.ops.pallas_norm import minmax_apply
-
-        return minmax_apply(volume, mask, qmin, qmax)
     expand = (slice(None),) + (None,) * (volume.ndim - 1)
     out = (volume - qmin[expand]) / (qmax - qmin)[expand]
     return jnp.clip(out, 0.0, 1.0) * mask
