@@ -400,7 +400,10 @@ def measure_all_configs():
         optimizer=fusion_optimizer(
             hp_frozen, ("reduce_dim_mri", "stage2out", "cls2")))
 
-    b = 64
+    # Frozen towers are inference-only (stop_gradient) so activation
+    # memory is far below the unfrozen regime's: batch 128 fits and is
+    # the measured sweet spot (b=64: 440 vol/s, b=128: 650, b=192: OOM).
+    b = 128
     results["three_stage_full_fusion_frozen"] = _measure_generic(
         AllModalitiesFusion.from_hparams(
             hp_frozen, {"n_classes": 3}, {"n_classes": 3},
