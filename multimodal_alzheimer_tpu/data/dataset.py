@@ -124,6 +124,11 @@ class MultiModalDataset:
         # radix-select kernel costs ~34 ms/step at batch 128; the memoized
         # apply-only path is elementwise). In-memory always; persisted as
         # sidecars next to the volume cache when one is configured.
+        # Cost model: the host selection is ~35 ms/volume on a 1-core
+        # host, paid once per sample ever (sidecars persist). On few-core
+        # hosts this gates the FIRST epoch's producer; pass
+        # memoize_minmax=False to keep epoch 1 at full speed and use the
+        # in-step Pallas selection every step instead (~6% slower steps).
         self.memoize_minmax = bool(
             memoize_minmax and self.normalize_mri
             and self.normalize_mri.get("per_scan_norm") == "min_max")
