@@ -87,7 +87,19 @@ REGIONS = (
 )
 
 
-def classify(op_names) -> str:
+def classify(op_names, root=None) -> str:
+    """Region of an event; the fusion ROOT's own op_name wins outright.
+
+    A fused computation's body often contains producer ops from the
+    previous layer (e.g. a layer4 conv dgrad fusing layer3's residual
+    add/BN mults as inputs) — majority-voting over the body misattributed
+    layer4_block0/conv1's 9.8 ms dgrad to layer3 in the round-3 profile.
+    The root instruction's metadata names the op the fusion exists for.
+    """
+    if root is not None:
+        for region, pats in REGIONS:
+            if any(re.search(p, root) for p in pats):
+                return region
     votes: dict = {}
     for op in op_names:
         for region, pats in REGIONS:
@@ -105,6 +117,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--dump-hlo", action="store_true")
     ap.add_argument("--keep-trace", action="store_true")
+    ap.add_argument("--filter", default=None,
+                    help="print EVERY device event classified into this "
+                         "region (e.g. --filter layer3), largest first")
     args = ap.parse_args(argv)
 
     import jax
@@ -181,6 +196,7 @@ def main(argv=None):
     # Join trace event names to HLO instructions and classify.
     region_ms: dict = {}
     unmatched = []
+    filtered = []
     for name, (ms, count, tname) in per_name.items():
         base = name.split("/")[-1]
         ops = []
@@ -195,8 +211,19 @@ def main(argv=None):
         if not ops:
             ops = [name]
             unmatched.append((ms, name))
-        region = classify(ops)
+        region = classify(ops, root=meta["inst_op"].get(base))
         region_ms[region] = region_ms.get(region, 0.0) + ms
+        if args.filter and region == args.filter:
+            filtered.append((ms, name, ops[0] if ops else ""))
+
+    if args.filter:
+        filtered.sort(reverse=True)
+        total_f = sum(ms for ms, _, _ in filtered)
+        print(f"\n== every '{args.filter}' event ({total_f / args.steps:.1f}"
+              f" ms/step over {len(filtered)} names) ==", file=sys.stderr)
+        for ms, name, hint in filtered:
+            print(f"  {ms / args.steps:8.2f} ms  {name[:44]:<44} "
+                  f"{hint[:80]}", file=sys.stderr)
 
     total = sum(region_ms.values()) / args.steps
     wall = max(env_by_track.values()) / args.steps if env_by_track else 0.0
