@@ -24,6 +24,15 @@ min-max path (exact quantiles come from the XLA sort in ``ops/quantile``).
 Layout: volumes are flattened and zero-padded to (rows, 128) float32
 tiles. Zero padding is semantically free: zeros are excluded from the
 statistics by the nonzero rule and multiplied back to zero on output.
+
+MEASURED DEAD END (round 3): int16-packed compares for the selection's
+top-16 bit passes (compare ``keys >> 16`` as int16 at 2x VPU lane
+density — exact, since those passes' candidates have zero low bits;
+projected 34 -> ~25 ms). Mosaic REJECTS int16 vector comparisons on
+this toolchain: ``arith.cmpi (vector<8x128x2xi16>) -> Target does not
+support this comparison`` — same limitation class as the missing
+unsigned compares. Don't reopen unless Mosaic gains sub-32-bit vector
+cmp support.
 """
 
 from __future__ import annotations
