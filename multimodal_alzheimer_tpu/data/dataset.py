@@ -155,8 +155,17 @@ class MultiModalDataset:
         entry = None
         if self._cache is not None:
             import hashlib
+            import os
 
-            token = (f"{mri_path}|{mask_path}|{self.quantile}"
+            def stamp(p):
+                # size+mtime so a changed volume self-evicts its sidecar
+                # (mirrors VolumeCache._key).
+                if p is None:
+                    return "none"
+                st = os.stat(p)
+                return f"{p}|{st.st_size}|{int(st.st_mtime)}"
+
+            token = (f"{stamp(mri_path)}|{stamp(mask_path)}|{self.quantile}"
                      f"|{self._vol_dtype.name}|qminmax")
             entry = (self._cache.cache_dir
                      / f"{hashlib.sha1(token.encode()).hexdigest()[:24]}"
