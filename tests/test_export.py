@@ -52,3 +52,45 @@ def test_export_with_preprocess():
     expected = model.apply(variables, preprocess(x), train=False)["logits"]
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                np.asarray(expected), rtol=1e-5)
+
+
+def test_export_with_memoized_minmax_preprocess():
+    """Artifact round-trip for the steady-state serving path: memoized
+    per-scan quantile bounds consumed inside the exported preprocess
+    (the combination tools/bench_serving.py measures on the real chip).
+    """
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.ops.normalization import (
+        batched_normalize_mri,
+    )
+    from multimodal_alzheimer_tpu.ops.quantile import (
+        host_masked_nonzero_quantile,
+    )
+
+    model = AnatCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 10, "linear_out": (),
+         "batchnorm_begin": False, "lr": 1e-3})
+
+    def preprocess(batch):
+        out = dict(batch)
+        out["mri"] = batched_normalize_mri(
+            out["mri"], out.pop("mri_mask"),
+            {"per_scan_norm": "min_max"}, 0.98,
+            qminmax=out.pop("mri_qminmax"))
+        return out
+
+    rng = np.random.default_rng(2)
+    vol = rng.normal(900, 400, (2, 12, 14, 12)).astype(np.float32)
+    mask = (rng.random(vol.shape) > 0.3).astype(np.float32)
+    memo = np.stack([host_masked_nonzero_quantile(
+        vol[i], mask[i], (0.02, 0.98)) for i in range(2)])
+    x = {"mri": jnp.asarray(vol), "mri_mask": jnp.asarray(mask),
+         "mri_qminmax": jnp.asarray(memo)}
+
+    variables = model.init(jax.random.PRNGKey(0), preprocess(x), train=False)
+    expected = model.apply(variables, preprocess(x), train=False)["logits"]
+
+    serve = load_exported(export_model(model, variables, x, preprocess))
+    out = serve(x)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(expected), rtol=1e-5, atol=1e-5)
