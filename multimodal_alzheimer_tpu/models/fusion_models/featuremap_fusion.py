@@ -35,6 +35,7 @@ class PETMRIFeatureMapFusion(nn.Module):
     n_out_fusion: int = 64
     filter_size_fusion: int = 3
     batchnorm_fusion: bool = False
+    bn_torch_stats: bool = False
     dropout_conv_p: Optional[float] = None
     dropout_dense_p: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
@@ -54,6 +55,7 @@ class PETMRIFeatureMapFusion(nn.Module):
             batchnorm_fusion=bool(hparams.get("batchnorm_fusion", False)),
             dropout_conv_p=hparams.get("dropout_conv_p"),
             dropout_dense_p=hparams.get("dropout_dense_p"),
+            bn_torch_stats=bool(hparams.get("bn_torch_stats", False)),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -65,7 +67,8 @@ class PETMRIFeatureMapFusion(nn.Module):
 
         tower = dict(conv_out=self.conv_out, filter_size=self.filter_size,
                      use_batchnorm=self.batchnorm,
-                     dropout_p=self.dropout_conv_p, dtype=self.dtype)
+                     dropout_p=self.dropout_conv_p, dtype=self.dtype,
+                     bn_torch_stats=self.bn_torch_stats)
         out_pet = ConvTower3D(**tower, name="backbone_pet")(x_pet, train)
         out_mri = ConvTower3D(**tower, name="backbone_mri")(x_mri, train)
 
@@ -79,10 +82,12 @@ class PETMRIFeatureMapFusion(nn.Module):
                             (self.filter_size_fusion,) * 3, padding="SAME",
                             dtype=self.dtype, name=f"fusion_conv_{i}")(fused)
             if self.batchnorm_fusion:
-                fused = nn.BatchNorm(use_running_average=not train,
-                                     momentum=0.9, epsilon=1e-5,
-                                     dtype=self.dtype,
-                                     name=f"fusion_bn_{i}")(fused)
+                from multimodal_alzheimer_tpu.models.layers import (
+                    batch_norm,
+                )
+
+                fused = batch_norm(train, f"fusion_bn_{i}", self.dtype,
+                                   self.bn_torch_stats)(fused)
             fused = nn.relu(fused)
             fused = max_pool3d(fused)
 

@@ -21,7 +21,11 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from multimodal_alzheimer_tpu.models.layers import global_avg_pool, max_pool3d
+from multimodal_alzheimer_tpu.models.layers import (
+    batch_norm,
+    global_avg_pool,
+    max_pool3d,
+)
 
 
 class ClassifierHead3D(nn.Module):
@@ -34,14 +38,14 @@ class ClassifierHead3D(nn.Module):
     batchnorm_dense: bool = False
     trailing_relu: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_torch_stats: bool = False
 
     @nn.compact
     def __call__(self, fmap: jnp.ndarray, train: bool = False) -> dict:
         x = fmap
         if self.batchnorm_begin:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name="bn_begin")(x)
+            x = batch_norm(train, "bn_begin", self.dtype,
+                           self.bn_torch_stats)(x)
 
         # conv_seg[:2] tap: with no extra convs this is the (BN'd) GAP
         # feature the stage-2 fusions consume as a 512/2048-d vector.
@@ -52,9 +56,8 @@ class ClassifierHead3D(nn.Module):
             x = nn.Conv(features, (kernel,) * 3, padding="SAME",
                         dtype=self.dtype, name=f"conv_{i}")(x)
             if self.batchnorm_conv:
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5,
-                                 dtype=self.dtype, name=f"bn_conv_{i}")(x)
+                x = batch_norm(train, f"bn_conv_{i}", self.dtype,
+                               self.bn_torch_stats)(x)
             x = nn.relu(x)
             x = max_pool3d(x)
 
@@ -62,9 +65,8 @@ class ClassifierHead3D(nn.Module):
         for i, features in enumerate(self.linear_out):
             h = nn.Dense(features, dtype=self.dtype, name=f"dense_{i}")(h)
             if self.batchnorm_dense:
-                h = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5,
-                                 dtype=self.dtype, name=f"bn_dense_{i}")(h)
+                h = batch_norm(train, f"bn_dense_{i}", self.dtype,
+                               self.bn_torch_stats)(h)
             h = nn.relu(h)
         logits = nn.Dense(self.n_classes, dtype=self.dtype, name="cls")(h)
         if self.trailing_relu:
@@ -82,4 +84,5 @@ class ClassifierHead3D(nn.Module):
             batchnorm_begin=bool(hparams.get("batchnorm_begin", False)),
             batchnorm_conv=bool(hparams.get("batchnorm_conv", False)),
             batchnorm_dense=bool(hparams.get("batchnorm_dense", False)),
+            bn_torch_stats=bool(hparams.get("bn_torch_stats", False)),
         )

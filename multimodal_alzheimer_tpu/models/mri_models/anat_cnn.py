@@ -38,8 +38,9 @@ class AnatCNN(nn.Module):
     stem_s2d: bool = True   # numerically-exact fast stem (resnet3d.py)
     dilated: bool = True    # Med3D parity; False = fast strided mode
     remat: bool = False     # rematerialize blocks (larger batches)
-    fused_bn: object = False  # False | "hybrid" | "full" (pallas_bn.py)
+    fused_bn: object = False  # False|"hybrid"|"full"|"torch_stats"
     maxpool_impl: str = "xla"  # "xla" | "sf" | "wf" (resnet3d.py stem pool)
+    bn_torch_stats: bool = False  # torch running-var EMA (head + backbone)
     dtype: jnp.dtype = jnp.float32
     input_key: str = "mri"
 
@@ -57,6 +58,8 @@ class AnatCNN(nn.Module):
         # building ad-hoc models keep full differentiability.
         if "lr_pretrained" in hparams:
             kwargs["freeze_backbone"] = not hparams["lr_pretrained"]
+        if hparams.get("bn_torch_stats"):
+            kwargs["bn_torch_stats"] = True
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -70,7 +73,9 @@ class AnatCNN(nn.Module):
                                   stem_s2d=self.stem_s2d,
                                   dilated=self.dilated,
                                   remat=self.remat,
-                                  fused_bn=self.fused_bn,
+                                  fused_bn=("torch_stats"
+                                            if self.bn_torch_stats
+                                            else self.fused_bn),
                                   maxpool_impl=self.maxpool_impl,
                                   dtype=self.dtype,
                                   name="backbone")(x, train)
@@ -91,6 +96,7 @@ class AnatCNN(nn.Module):
             batchnorm_dense=self.batchnorm_dense,
             trailing_relu=self.trailing_relu,
             dtype=self.dtype,
+            bn_torch_stats=self.bn_torch_stats,
             name="head")(fmap, train)
         return out
 

@@ -38,6 +38,7 @@ class SmallPETCNN(nn.Module):
     dropout_dense_p: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     input_key: str = "pet1451"
+    bn_torch_stats: bool = False  # torch running-var EMA (PARITY div. 3)
 
     @classmethod
     def from_hparams(cls, hparams: dict, **overrides) -> "SmallPETCNN":
@@ -49,6 +50,7 @@ class SmallPETCNN(nn.Module):
             linear_out=int(hparams.get("linear_out") or 0),
             dropout_conv_p=hparams.get("dropout_conv_p"),
             dropout_dense_p=hparams.get("dropout_dense_p"),
+            bn_torch_stats=bool(hparams.get("bn_torch_stats", False)),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -61,8 +63,8 @@ class SmallPETCNN(nn.Module):
         x = x.astype(self.dtype)
 
         x = ConvTower3D(self.conv_out, self.filter_size, self.batchnorm,
-                        self.dropout_conv_p, self.dtype, name="convs")(
-                            x, train)
+                        self.dropout_conv_p, self.dtype,
+                        self.bn_torch_stats, name="convs")(x, train)
         h = global_avg_pool(x)
         if self.dropout_dense_p is not None and self.linear_out:
             h = nn.Dropout(rate=self.dropout_dense_p, name="dense_dropout")(

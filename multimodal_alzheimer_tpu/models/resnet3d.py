@@ -115,6 +115,16 @@ def _bn(train: bool, name: str, dtype=jnp.float32, fused: bool = False):
 
         return HybridBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=dtype, name=name)
+    if fused == "torch_stats":
+        # torch-parity running-variance EMA (PARITY.md divergence 3);
+        # identical param/stat tree, opt-in via hparams bn_torch_stats.
+        from multimodal_alzheimer_tpu.models.layers import (
+            TorchStatsBatchNorm,
+        )
+
+        return TorchStatsBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5, dtype=dtype,
+                                   name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
 
