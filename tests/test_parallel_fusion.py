@@ -103,32 +103,43 @@ def test_stage3_frozen_shared_dp_matches_single_device():
     _dp_vs_single(model, variables, batch)
 
 
+def _crash_isolated(test_name: str) -> bool:
+    """Run ``test_name`` of this file in a child pytest; True = handled.
+
+    XLA:CPU's hardcoded 40 s collective rendezvous window (rendezvous.cc)
+    hard-aborts (SIGABRT) when a few-core host cannot keep all 8 virtual
+    devices inside the window — and an abort in-process would kill the
+    WHOLE suite (observed live in round 3: a full 37-minute run died at
+    94 % inside the fit smoke). In the child, an abort downgrades to a
+    skip; multi-core hosts run and assert normally. Returns False inside
+    the child so the caller proceeds with the real test body.
+    """
+    if os.environ.get("_PFUSION_CHILD") == "1":
+        return False
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x",
+         f"{__file__}::{test_name}"],
+        env={**os.environ, "_PFUSION_CHILD": "1"},
+        capture_output=True, timeout=2400)
+    if proc.returncode == 0:
+        return True
+    tail = (proc.stdout[-2000:] + proc.stderr[-2000:]).decode(
+        "utf-8", "replace")
+    if proc.returncode in (134, -6) or "Aborted" in tail:
+        pytest.skip(
+            "XLA:CPU 40 s collective rendezvous abort on this host "
+            "(few-core VM); this mesh test needs a multi-core host — "
+            "see dryrun_multichip's depth fallback")
+    pytest.fail(f"child failed (rc={proc.returncode}):\n{tail}")
+
+
 def test_stage3_unfrozen_dp_matches_single_device():
     """Fully-unfrozen stage-3 (gradients through every tower, duplicate
-    forwards) on the DP mesh == single device.
-
-    Crash-isolated in a subprocess: the duplicated towers double the BN
-    all-reduce rounds per step, and on few-core hosts XLA:CPU's hardcoded
-    40 s collective rendezvous window (rendezvous.cc) hard-aborts
-    (SIGABRT — it would kill the whole pytest process). On such hosts the
-    abort downgrades to a skip; multi-core hosts run and assert normally.
-    """
-    if os.environ.get("_PFUSION_CHILD") != "1":
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-x",
-             f"{__file__}::test_stage3_unfrozen_dp_matches_single_device"],
-            env={**os.environ, "_PFUSION_CHILD": "1"},
-            capture_output=True, timeout=2400)
-        if proc.returncode == 0:
-            return
-        tail = (proc.stdout[-2000:] + proc.stderr[-2000:]).decode(
-            "utf-8", "replace")
-        if proc.returncode in (134, -6) or "Aborted" in tail:
-            pytest.skip(
-                "XLA:CPU 40 s collective rendezvous abort on this host "
-                "(1-core VM); the unfrozen three-tower mesh step needs a "
-                "multi-core host — see dryrun_multichip's depth fallback")
-        pytest.fail(f"child failed (rc={proc.returncode}):\n{tail}")
+    forwards) on the DP mesh == single device. Crash-isolated: the
+    duplicated towers double the BN all-reduce rounds per step (see
+    _crash_isolated)."""
+    if _crash_isolated("test_stage3_unfrozen_dp_matches_single_device"):
+        return
 
     model = _model(shared=False)
     assert not model.share_towers
@@ -139,7 +150,12 @@ def test_stage3_unfrozen_dp_matches_single_device():
 
 def test_trainer_fit_mesh_fusion_smoke():
     """Trainer.fit over the mesh with mixed-modality batches, including a
-    ragged tail batch (20 % 8 != 0 -> the replicate fallback path)."""
+    ragged tail batch (20 % 8 != 0 -> the replicate fallback path).
+    Crash-isolated: two epoch phases x three towers of BN all-reduces can
+    trip the rendezvous window on few-core hosts (see _crash_isolated)."""
+    if _crash_isolated("test_trainer_fit_mesh_fusion_smoke"):
+        return
+
     from multimodal_alzheimer_tpu.data.pipeline import DataLoader
     from multimodal_alzheimer_tpu.train.loop import Trainer
     from multimodal_alzheimer_tpu.train.optim import single_lr_optimizer
