@@ -111,6 +111,107 @@ def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(x, axis=(1, 2, 3))
 
 
+def _s2d_pool_widx(k: int):
+    """Per-dim (3 taps, s, r) -> w index map; -1 marks a zero tap.
+
+    Parity decomposition of a stride-1 odd-k conv under a following
+    stride-2 window: output position u = 2p + r, input u + off =
+    2(p + m) + s with m in {-1, 0, 1}, so tap (m, s, r) reads
+    w[2m + s - r + (k-1)//2] when that index is in range.
+    """
+    import numpy as np
+
+    half = (k - 1) // 2
+    idx = np.full((3, 2, 2), -1, np.int64)
+    for a in range(3):
+        for s in range(2):
+            for r in range(2):
+                w = 2 * (a - 1) + s + half - r
+                if 0 <= w < k:
+                    idx[a, s, r] = w
+    return idx
+
+
+def _s2d_flat_index(k: int):
+    """(3,3,3, 8s, 8r) flat gather map into w's k^3 spatial slots (+zero)."""
+    import numpy as np
+
+    i = _s2d_pool_widx(k)
+    d = i[:, None, None, :, None, None, :, None, None]
+    h = i[None, :, None, None, :, None, None, :, None]
+    w = i[None, None, :, None, None, :, None, None, :]
+    valid = (d >= 0) & (h >= 0) & (w >= 0)
+    flat = np.where(valid, d * k * k + h * k + w, k ** 3)
+    return flat.reshape(3, 3, 3, 8, 8)  # (taps, s-parity, r-parity)
+
+
+class S2DConvReLUPool(nn.Module):
+    """Fused Conv3d(odd k, stride 1, 'same') -> ReLU -> MaxPool(2), exact.
+
+    The direct form is XLA-hostile for small channel counts: the
+    pet_3d_cnn profile measured its 5^3 C_in=1 conv at 91^3 taking
+    168 ms/step of the 210 ms total (~20x above both its MXU and HBM
+    bounds — there is no efficient emitter for single-channel stride-1
+    convs). The same parity decomposition that won the MRI stem +19%
+    (resnet3d.py s2d stem) applies around a pool: space-to-depth the
+    input (factor 2 -> 8C channels), gather the k^3 kernel into a 3^3
+    x (8C -> 8F) kernel indexed by (input parity s, output parity r),
+    run ONE MXU-friendly conv, then ReLU and max-reduce over the 8
+    output parities — algebraically the conv at every original position
+    followed by the 2^3 max window (ReLU commutes with max). Odd extents
+    zero-pad to even; the pool's floor semantics slice the tail off, so
+    padding never reaches the output. Parameter tree matches nn.Conv
+    ('kernel'/'bias', same shapes/inits) — checkpoints interoperate with
+    the unfused path bit-for-bit.
+
+    Numerics: same products, different summation grouping -> low-bit
+    accumulation differences only (parity-tested vs the naive path incl.
+    gradients). Max-tie gradient routing can differ from
+    SelectAndScatter only on exactly-equal positive values (relu-zero
+    ties route zero gradient either way).
+    """
+
+    features: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        assert k % 2 == 1, "parity decomposition needs odd kernels"
+        b, d, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, k, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+
+        # inputs: zero-pad to even extents, space-to-depth (s-major, cin-minor)
+        dp, hp, wp = d + d % 2, h + h % 2, w + w % 2
+        xe = jnp.pad(x, ((0, 0), (0, dp - d), (0, hp - h), (0, wp - w),
+                         (0, 0)))
+        X = xe.reshape(b, dp // 2, 2, hp // 2, 2, wp // 2, 2, cin)
+        X = X.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, dp // 2, hp // 2, wp // 2, 8 * cin)
+
+        # kernel: gather w taps into (3,3,3, 8*cin, 8*features)
+        wf = kernel.reshape(k ** 3, cin, self.features)
+        wf = jnp.concatenate(
+            [wf, jnp.zeros((1, cin, self.features), kernel.dtype)], axis=0)
+        W = wf[_s2d_flat_index(k)]     # (3,3,3, 8s, 8r, cin, features)
+        W = W.transpose(0, 1, 2, 3, 5, 4, 6).reshape(
+            3, 3, 3, 8 * cin, 8 * self.features)
+
+        out = jax.lax.conv_general_dilated(
+            X.astype(self.dtype), W.astype(self.dtype),
+            window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        out = out.reshape(b, dp // 2, hp // 2, wp // 2, 8, self.features)
+        out = nn.relu(out + bias.astype(self.dtype))
+        out = jnp.max(out, axis=4)
+        return out[:, :d // 2, :h // 2, :w // 2, :]
+
+
 class ConvBlock3D(nn.Module):
     """Conv3d('same') -> [BN] -> ReLU -> MaxPool(2) -> [Dropout]."""
 
@@ -120,16 +221,31 @@ class ConvBlock3D(nn.Module):
     dropout_p: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     bn_torch_stats: bool = False
+    # Fused parity-decomposed conv+relu+pool (S2DConvReLUPool): exact,
+    # checkpoint-compatible, and the only efficient lowering for the
+    # small-channel stride-1 convs (pet_3d_cnn: 597 -> see bench --all).
+    # Ineligible with BatchNorm: BN statistics are taken over the full
+    # pre-pool tensor, which the fused form never materializes.
+    s2d_pool: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel_size,) * 3, padding="SAME",
-                    dtype=self.dtype, name="conv")(x)
-        if self.use_batchnorm:
-            x = batch_norm(train, "bn", self.dtype,
-                           self.bn_torch_stats)(x)
-        x = nn.relu(x)
-        x = max_pool3d(x)
+        # cin <= 8 is the measured crossover (v5e, 91^3-class grids):
+        # fused wins 168 -> 22 ms at cin=1 and 38 -> 23 ms at cin=8, but
+        # LOSES at cin>=16 (2.3 -> 8.6 ms: the naive conv already runs at
+        # good MXU shapes there and the 8x tap padding dominates).
+        if self.s2d_pool and not self.use_batchnorm \
+                and self.kernel_size % 2 == 1 and x.shape[-1] <= 8:
+            x = S2DConvReLUPool(self.features, self.kernel_size,
+                                self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel_size,) * 3,
+                        padding="SAME", dtype=self.dtype, name="conv")(x)
+            if self.use_batchnorm:
+                x = batch_norm(train, "bn", self.dtype,
+                               self.bn_torch_stats)(x)
+            x = nn.relu(x)
+            x = max_pool3d(x)
         if self.dropout_p is not None:
             x = nn.Dropout(rate=self.dropout_p, name="dropout")(
                 x, deterministic=not train)
@@ -145,6 +261,7 @@ class ConvTower3D(nn.Module):
     dropout_p: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     bn_torch_stats: bool = False
+    s2d_pool: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -152,6 +269,6 @@ class ConvTower3D(nn.Module):
                 zip(self.conv_out, self.filter_size)):
             x = ConvBlock3D(features, kernel, self.use_batchnorm,
                             self.dropout_p, self.dtype,
-                            self.bn_torch_stats,
+                            self.bn_torch_stats, self.s2d_pool,
                             name=f"block_{i}")(x, train)
         return x

@@ -39,6 +39,7 @@ class SmallPETCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     input_key: str = "pet1451"
     bn_torch_stats: bool = False  # torch running-var EMA (PARITY div. 3)
+    s2d_pool: bool = True  # fused parity-decomposed conv+relu+pool (exact)
 
     @classmethod
     def from_hparams(cls, hparams: dict, **overrides) -> "SmallPETCNN":
@@ -64,7 +65,8 @@ class SmallPETCNN(nn.Module):
 
         x = ConvTower3D(self.conv_out, self.filter_size, self.batchnorm,
                         self.dropout_conv_p, self.dtype,
-                        self.bn_torch_stats, name="convs")(x, train)
+                        self.bn_torch_stats, self.s2d_pool,
+                        name="convs")(x, train)
         h = global_avg_pool(x)
         if self.dropout_dense_p is not None and self.linear_out:
             h = nn.Dropout(rate=self.dropout_dense_p, name="dense_dropout")(

@@ -66,6 +66,59 @@ def _fusion_opnames(hlo_text: str) -> dict:
             "comp_ops": comp_ops}
 
 
+def _build_pet_step(batch_size: int):
+    """SmallPETCNN train step at the bench --all pet_3d_cnn config."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.losses import make_criterion
+    from multimodal_alzheimer_tpu.models import SmallPETCNN
+    from multimodal_alzheimer_tpu.ops.normalization import normalize_pet
+    from multimodal_alzheimer_tpu.train import (
+        TrainState,
+        make_train_step,
+        single_lr_optimizer,
+    )
+
+    model = SmallPETCNN.from_hparams(
+        {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+         "filter_size": (5, 5, 3, 3), "linear_out": 64},
+        dtype=jnp.bfloat16)
+    criterion = make_criterion({"loss_class_weights": [0.4, 0.3, 0.3]})
+    optimizer = single_lr_optimizer(1e-3)
+
+    def preprocess(b):
+        out = dict(b)
+        out["pet1451"] = normalize_pet(out["pet1451"], 0.5145, 0.5383)
+        return out
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pet1451": jnp.asarray(
+            rng.normal(0.5, 0.5, (batch_size,) + bench.VOLUME_SHAPE)
+            .astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 3, batch_size), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), preprocess(batch),
+                           train=False)
+    state = TrainState.create(variables, optimizer)
+    step = make_train_step(model, criterion, optimizer, preprocess)
+    return step, state, batch, jax.random.PRNGKey(1)
+
+
+PET_REGIONS = (
+    ("preprocess", (r"preprocess", r"normalize")),
+    ("optimizer", (r"optimizer",)),
+    ("block0", (r"block_0",)),
+    ("block1", (r"block_1",)),
+    ("block2", (r"block_2",)),
+    ("block3", (r"block_3",)),
+    ("head_loss", (r"hidden", r"cls", r"loss", r"softmax", r"log_softmax",
+                   r"cross_entropy", r"logits", r"one_hot")),
+)
+
 REGIONS = (
     # (region, patterns matched against the joined op_name strings).
     # Order matters: block-internal conv1/bn1 names live under
@@ -87,7 +140,7 @@ REGIONS = (
 )
 
 
-def classify(op_names, root=None) -> str:
+def classify(op_names, root=None, regions=REGIONS) -> str:
     """Region of an event; the fusion ROOT's own op_name wins outright.
 
     A fused computation's body often contains producer ops from the
@@ -97,12 +150,12 @@ def classify(op_names, root=None) -> str:
     The root instruction's metadata names the op the fusion exists for.
     """
     if root is not None:
-        for region, pats in REGIONS:
+        for region, pats in regions:
             if any(re.search(p, root) for p in pats):
                 return region
     votes: dict = {}
     for op in op_names:
-        for region, pats in REGIONS:
+        for region, pats in regions:
             if any(re.search(p, op) for p in pats):
                 votes[region] = votes.get(region, 0) + 1
                 break
@@ -115,6 +168,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--config", default="flagship",
+                    choices=("flagship", "pet"),
+                    help="flagship = MRI ResNet-18; pet = SmallPETCNN")
     ap.add_argument("--dump-hlo", action="store_true")
     ap.add_argument("--keep-trace", action="store_true")
     ap.add_argument("--filter", default=None,
@@ -124,7 +180,10 @@ def main(argv=None):
 
     import jax
 
-    step, state, batch, rng = bench.build_step(args.batch)
+    if args.config == "pet":
+        step, state, batch, rng = _build_pet_step(args.batch)
+    else:
+        step, state, batch, rng = bench.build_step(args.batch)
     lowered = step.lower(state, batch, rng)
     compiled = lowered.compile()
     hlo_text = compiled.as_text()
@@ -194,6 +253,7 @@ def main(argv=None):
         per_name[e["name"]][1] += 1
 
     # Join trace event names to HLO instructions and classify.
+    regions = PET_REGIONS if args.config == "pet" else REGIONS
     region_ms: dict = {}
     unmatched = []
     filtered = []
@@ -211,7 +271,8 @@ def main(argv=None):
         if not ops:
             ops = [name]
             unmatched.append((ms, name))
-        region = classify(ops, root=meta["inst_op"].get(base))
+        region = classify(ops, root=meta["inst_op"].get(base),
+                          regions=regions)
         region_ms[region] = region_ms.get(region, 0.0) + ms
         if args.filter and region == args.filter:
             filtered.append((ms, name, ops[0] if ops else ""))
