@@ -208,6 +208,57 @@ def main(argv=None):
           f"(probs-fetch overhead {results['exported_fetch_ms']} ms, "
           f"included once)", file=sys.stderr)
 
+    # --- 3-stage fusion serving: the full production deployment. ---
+    # All three towers + three stage-2 heads + the stage-3 classifier,
+    # shared frozen towers, memoized MRI bounds, one jit.
+    from multimodal_alzheimer_tpu.models import AllModalitiesFusion
+
+    pet_hp = {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+              "filter_size": (5, 5, 3, 3), "linear_out": 64}
+    mri_hp = {"n_classes": 3, "resnet_depth": 18, "linear_out": ()}
+    tab_hp = {"n_classes": 3, "hidden": (256, 1024)}
+    fusion = AllModalitiesFusion.from_hparams(
+        {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None},
+        {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
+        pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16)
+
+    def preprocess3(batch):
+        out = preprocess_memo(batch)
+        out["pet1451"] = (out["pet1451"] - 0.5145) / 0.5383
+        return out
+
+    dev3 = dict(dev_memo)
+    dev3["pet1451"] = jnp.asarray(
+        rng.normal(0.5, 0.5, (b,) + VOLUME_SHAPE).astype(np.float32))
+    dev3["tabular"] = jnp.asarray(rng.normal(size=(b, 9))
+                                  .astype(np.float32))
+    v3 = fusion.init(jax.random.PRNGKey(0), preprocess3(dev3), train=False)
+    pred3 = Predictor(fusion, v3, batch_size=b, preprocess=preprocess3)
+    core3 = pred3._raw_fn
+
+    @jax.jit
+    def chained3(variables, batch, tag0):
+        def body(carry, _):
+            mri, tag = carry
+            bb = dict(batch)
+            bb["mri"] = mri + tag
+            out = core3(variables, bb)
+            new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
+            return (mri, new_tag), ()
+        (mri, tag), _ = jax.lax.scan(
+            body, (batch["mri"], tag0), None, length=args.iters)
+        return tag
+
+    float(chained3(pred3.variables, dev3, tag0))  # warm
+    t0 = time.perf_counter()
+    tag = float(chained3(pred3.variables, dev3, tag0))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(tag)
+    results["three_stage_vol_s"] = round(b * args.iters / dt, 1)
+    print(f"3-stage fusion serve (PET+MRI+tabular, shared towers, "
+          f"memoized min-max, scan-chained x{args.iters}): "
+          f"{results['three_stage_vol_s']} vol/s", file=sys.stderr)
+
     if args.host:
         # Full host->host path incl. padding + H2D + D2H. Tunnel-bound
         # on remote-TPU rigs — see module docstring.
