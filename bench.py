@@ -367,14 +367,19 @@ def measure_all_configs():
         {**mb, "mri_qminmax": quants, "label": labels(b)}, w,
         pre_mri_minmax_memo)
 
-    b = 64
+    # Batch 128 is the measured sweet spot for both regimes
+    # (pet_mri: 201@64 -> 287@128 — fully-unfrozen towers fit, like the
+    # flagship MRI backward; 3-stage: 482@32 -> 879@128, 192 OOMs — its
+    # stage-1 towers freeze per the stage-2 checkpoints' hparams, the
+    # reference's re-init semantics, so only heads carry activations).
+    b = 128
     results["pet_mri_late_fusion"] = _measure_generic(
         AnatPETFusion.from_hparams({"n_classes": 3}, pet_hp, mri_hp,
                                    dtype=jnp.bfloat16),
         {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
         w, pre_both)
 
-    b = 32
+    b = 128
     results["three_stage_full_fusion"] = _measure_generic(
         AllModalitiesFusion.from_hparams(
             {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
