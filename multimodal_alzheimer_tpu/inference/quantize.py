@@ -1,0 +1,423 @@
+"""Post-training int8 quantization for the serving path.
+
+The v5e MXU executes int8 x int8 -> int32 at 394 TOPS — 2x its bf16 peak
+— and the bf16 serving step already runs at ~0.77 forward MFU (README),
+so int8 is the only surface with a 2x ceiling left. The reference has no
+quantization story at all (fp32 PyTorch eval); this module gives the
+TPU-native deployment one:
+
+  * **BN folding**: in eval mode BatchNorm is an affine map, so every
+    conv+BN pair collapses into one conv with per-channel folded weights
+    and a bias (`fold_backbone`) — algebraically exact.
+  * **Symmetric PTQ**: per-output-channel int8 weights, per-tensor int8
+    activations with scales from a one-pass absmax calibration
+    (`calibrate_backbone` — runs the *folded f32* graph, which is
+    numerically identical to the float model, so calibration needs no
+    extra machinery).
+  * **int8 dataflow**: activations stay int8 across block boundaries
+    (conv epilogues fuse the int32->f32 rescale + bias + ReLU + requant,
+    so HBM carries 1/4 the bytes of the bf16 path); the stem maxpool
+    runs directly on int8 (max commutes with the monotone requant —
+    exact). Residual adds happen in f32 inside the fused epilogue.
+  * Spatial zero-padding is exact under symmetric quantization (zero
+    point is 0), and the int32 accumulator cannot overflow: the largest
+    contraction here is 27 taps x 512 ch x 127^2 < 2^31.
+
+Only the backbone is quantized — it is >99% of inference FLOPs (the
+flagship head is GAP + Dense(3), BASELINE.md's budget) — and the head
+runs in f32 on the dequantized feature map, preserving the
+`backbone_gap` embedding tap contract.
+
+Scope: basic-block depths (10/18/34), both dilated (Med3D parity) and
+strided layouts, s2d or plain stem. Depth-50 bottlenecks raise (no
+serving demand yet; the flagship is ResNet-18).
+
+Reference: no counterpart (pkg/ has no inference optimization layer);
+serving parity surface is inference/predictor.py's output contract.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from multimodal_alzheimer_tpu.models.resnet3d import BLOCK_CONFIGS
+
+_DIMS = ("NDHWC", "DHWIO", "NDHWC")
+_EPS = 1e-5
+
+
+# --------------------------------------------------------------------------
+# BN folding
+# --------------------------------------------------------------------------
+
+def _fold_pair(conv_p: dict, bn_p: dict, bn_s: dict, eps: float = _EPS):
+    """conv -> BN(eval) == conv(folded kernel) + bias. Exact algebra."""
+    g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+    return {"w": conv_p["kernel"] * g, "bias": bn_p["bias"] - bn_s["mean"] * g}
+
+
+def fold_backbone(variables: dict, depth: int = 18) -> dict:
+    """Fold every conv+BN pair of a MedicalNetResNet3D into conv+bias.
+
+    Args:
+      variables: AnatCNN-style {'params', 'batch_stats'} containing a
+        'backbone' subtree, or the backbone collections directly.
+    Returns:
+      {'conv1': {w, bias}, 'layer{i}_block{j}': {'conv1': .., 'conv2': ..,
+       ['downsample': ..]}} with f32 folded kernels in canonical layout.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    if "backbone" in params:
+        params, stats = params["backbone"], stats["backbone"]
+    kind, layout = BLOCK_CONFIGS[depth]
+    if kind != "basic":
+        raise NotImplementedError(
+            "int8 serving covers basic-block depths 10/18/34; depth "
+            f"{depth} uses bottlenecks")
+
+    folded = {"conv1": _fold_pair(params["conv1"], params["bn1"],
+                                  stats["bn1"])}
+    for li in range(1, 5):
+        for bi in range(layout[li - 1]):
+            name = f"layer{li}_block{bi}"
+            p, s = params[name], stats[name]
+            blk = {
+                "conv1": _fold_pair(p["conv1"], p["bn1"], s["bn1"]),
+                "conv2": _fold_pair(p["conv2"], p["bn2"], s["bn2"]),
+            }
+            if "downsample_conv" in p:
+                blk["downsample"] = _fold_pair(
+                    p["downsample_conv"], p["downsample_bn"],
+                    s["downsample_bn"])
+            folded[name] = blk
+    return folded
+
+
+# --------------------------------------------------------------------------
+# Shared graph traversal (calibrate = folded f32; serve = int8)
+# --------------------------------------------------------------------------
+
+def _layer_specs(dilated: bool):
+    if dilated:  # Med3D: layers 3-4 stride 1, dilation 2/4 (resnet3d.py)
+        return [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
+    return [(64, 1, 1), (128, 2, 1), (256, 2, 1), (512, 2, 1)]
+
+
+def _torch_pad(k: int, dilation: int):
+    p = dilation * (k - 1) // 2
+    return [(p, p)] * 3
+
+
+def _conv_f32(entry, x, stride, dilation, pad=None):
+    if pad is None:
+        pad = _torch_pad(entry["w"].shape[0], dilation)
+    out = lax.conv_general_dilated(
+        x, entry["w"], (stride,) * 3, pad,
+        rhs_dilation=(dilation,) * 3, dimension_numbers=_DIMS)
+    return out + entry["bias"]
+
+
+def _conv_int8(entry, q, stride, dilation, pad=None):
+    """int8 conv -> int32 -> fused f32 rescale (+bias). ``entry['scale']``
+    already includes the input activation scale (static after calib)."""
+    if pad is None:
+        pad = _torch_pad(entry["wq"].shape[0], dilation)
+    out = lax.conv_general_dilated(
+        q, entry["wq"], (stride,) * 3, pad,
+        rhs_dilation=(dilation,) * 3, dimension_numbers=_DIMS,
+        preferred_element_type=jnp.int32)
+    return out.astype(jnp.float32) * entry["scale"] + entry["bias"]
+
+
+def _s2d_input(x):
+    """2x2x2 space-to-depth of a 1-channel volume, torch pad-3 stem layout
+    (mirrors models/resnet3d.py:SpaceToDepthStem — exact)."""
+    b = x.shape[0]
+    dims = x.shape[1:4]
+    pads = [(3, 3 + ((d + 6) % 2)) for d in dims]
+    xp = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
+    d2, h2, w2 = xp.shape[1] // 2, xp.shape[2] // 2, xp.shape[3] // 2
+    xs = xp.reshape(b, d2, 2, h2, 2, w2, 2)
+    return xs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, d2, h2, w2, 8)
+
+
+def _s2d_kernel(w):
+    """(7,7,7,1,F) canonical kernel -> (4,4,4,8,F) s2d layout (exact)."""
+    f = w.shape[-1]
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+    w8 = w8.reshape(4, 2, 4, 2, 4, 2, 1, f)
+    return w8.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(4, 4, 4, 8, f)
+
+
+def _max_pool_int8(q):
+    """MaxPool3d(k=3, s=2, p=1) on int8. Identity -128 reproduces the
+    -inf padding semantics of the f32 stem pool; max commutes with the
+    monotone requant, so pooling the quantized tensor is exact."""
+    return lax.reduce_window(
+        q, jnp.int8(-128), lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+
+
+def _max_pool_f32(x):
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+
+
+class _CalibCtx:
+    """Folded-f32 pass that records per-site activation absmax."""
+
+    def __init__(self):
+        self.absmax: Dict[str, jnp.ndarray] = {}
+
+    def requant(self, site, x):
+        self.absmax[site] = jnp.max(jnp.abs(x))
+        return x
+
+    conv = staticmethod(_conv_f32)
+    pool = staticmethod(_max_pool_f32)
+
+
+class _Int8Ctx:
+    """int8 pass: ``scales[site]`` are static post-calibration floats."""
+
+    def __init__(self, scales: Dict[str, float]):
+        self.scales = scales
+
+    def requant(self, site, x):
+        s = self.scales[site]
+        return jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
+
+    conv = staticmethod(_conv_int8)
+    pool = staticmethod(_max_pool_int8)
+
+
+def _backbone_forward(tree, x, ctx, *, depth, dilated, stem_s2d):
+    """One graph for both modes. ``tree`` holds whichever arrays the
+    ctx's conv expects; requant sites are named identically so the
+    calibration dict keys line up with the serve-time scale keys.
+
+    The s2d stem: the space-to-depth rearrangement is pad-with-exact-
+    zeros + reshape, so it commutes with symmetric quantization — it is
+    applied to the already-quantized input; the kernel was transformed
+    to the (4,4,4,8,F) layout before weight quantization. In calib mode
+    the same s2d graph runs in f32 (numerically identical to the plain
+    7^3 stride-2 conv, tests/test_s2d_stem.py).
+    """
+    _, layout = BLOCK_CONFIGS[depth]
+
+    x = ctx.requant("stem_in", x)
+    stem = tree["conv1"]
+    if stem_s2d:
+        y = ctx.conv(stem, _s2d_input(x), 1, 1, pad="VALID")
+    else:
+        y = ctx.conv(stem, x, 2, 1)
+    y = jax.nn.relu(y)
+    carrier = ctx.pool(ctx.requant("pool_in", y))
+    carrier_site = "pool_in"
+
+    for li, (planes, stride, dilation) in enumerate(_layer_specs(dilated),
+                                                    start=1):
+        for bi in range(layout[li - 1]):
+            name = f"layer{li}_block{bi}"
+            blk = tree[name]
+            st = stride if bi == 0 else 1
+            h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, st, dilation))
+            h = ctx.requant(f"{name}/mid", h)
+            h = ctx.conv(blk["conv2"], h, 1, dilation)
+            if "downsample" in blk:
+                res = ctx.conv(blk["downsample"], carrier, st, 1)
+            elif isinstance(ctx, _Int8Ctx):
+                res = carrier.astype(jnp.float32) * ctx.scales[carrier_site]
+            else:
+                res = carrier
+            y = jax.nn.relu(h + res)
+            last = li == 4 and bi == layout[3] - 1
+            if last:
+                return y  # f32 fmap for the float head
+            carrier_site = f"{name}/out"
+            carrier = ctx.requant(carrier_site, y)
+    raise AssertionError("unreachable")
+
+
+def _with_s2d_stem(folded: dict) -> dict:
+    """Copy of a folded tree with the stem kernel in the s2d layout."""
+    out = dict(folded)
+    out["conv1"] = {"w": _s2d_kernel(folded["conv1"]["w"]),
+                    "bias": folded["conv1"]["bias"]}
+    return out
+
+
+# --------------------------------------------------------------------------
+# Calibration + quantization
+# --------------------------------------------------------------------------
+
+def calibrate_backbone(folded: dict, batches, *, depth=18, dilated=True,
+                       stem_s2d=True) -> Dict[str, float]:
+    """absmax per requant site over ``batches`` (iterable of (B,D,H,W,1)
+    f32 arrays, already preprocessed). Runs the folded-f32 graph — which
+    equals the float model's eval forward — jitted once."""
+
+    tree = _with_s2d_stem(folded) if stem_s2d else folded
+
+    @jax.jit
+    def one(x):
+        ctx = _CalibCtx()
+        _backbone_forward(tree, x, ctx, depth=depth, dilated=dilated,
+                          stem_s2d=stem_s2d)
+        return ctx.absmax
+
+    agg: Dict[str, float] = {}
+    for x in batches:
+        out = jax.device_get(one(jnp.asarray(x)))
+        for k, v in out.items():
+            agg[k] = max(agg.get(k, 0.0), float(v))
+    return agg
+
+
+def _quantize_kernel(entry, in_scale: float):
+    """Per-out-channel symmetric weights; fold the (static) input scale
+    into the epilogue multiplier so serving math is one madd."""
+    w = entry["w"]
+    sw = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
+    sw = jnp.maximum(sw, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    return {"wq": wq, "scale": (sw * in_scale).astype(jnp.float32),
+            "bias": entry["bias"].astype(jnp.float32)}
+
+
+def quantize_backbone(folded: dict, absmax: Dict[str, float], *,
+                      depth=18, dilated=True, stem_s2d=True) -> dict:
+    """Folded f32 tree + calibration absmax -> int8 serving tree."""
+    _, layout = BLOCK_CONFIGS[depth]
+    scales = {k: max(v, 1e-12) / 127.0 for k, v in absmax.items()}
+
+    stem = dict(folded["conv1"])
+    if stem_s2d:
+        stem = {"w": _s2d_kernel(stem["w"]), "bias": stem["bias"]}
+    qtree = {"conv1": _quantize_kernel(stem, scales["stem_in"])}
+
+    carrier_site = "pool_in"
+    for li in range(1, 5):
+        for bi in range(layout[li - 1]):
+            name = f"layer{li}_block{bi}"
+            blk = folded[name]
+            q = {"conv1": _quantize_kernel(blk["conv1"],
+                                           scales[carrier_site]),
+                 "conv2": _quantize_kernel(blk["conv2"],
+                                           scales[f"{name}/mid"])}
+            if "downsample" in blk:
+                q["downsample"] = _quantize_kernel(blk["downsample"],
+                                                   scales[carrier_site])
+            qtree[name] = q
+            if not (li == 4 and bi == layout[3] - 1):
+                carrier_site = f"{name}/out"
+    qtree["scales"] = scales
+    qtree["config"] = {"depth": depth, "dilated": dilated,
+                       "stem_s2d": stem_s2d}
+    return qtree
+
+
+def int8_backbone_apply(qtree: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, 1) f32 -> (B, d, h, w, C) f32 feature map, int8 path."""
+    cfg = qtree["config"]
+    ctx = _Int8Ctx(qtree["scales"])
+    return _backbone_forward(qtree, x, ctx, depth=cfg["depth"],
+                             dilated=cfg["dilated"],
+                             stem_s2d=cfg["stem_s2d"])
+
+
+def folded_backbone_apply(folded: dict, x: jnp.ndarray, *, depth=18,
+                          dilated=True, stem_s2d=True) -> jnp.ndarray:
+    """Folded-f32 forward (the calibration graph) — equals the float
+    model's eval forward; exported for parity tests."""
+    tree = _with_s2d_stem(folded) if stem_s2d else folded
+    ctx = _CalibCtx()
+    return _backbone_forward(tree, x, ctx, depth=depth, dilated=dilated,
+                             stem_s2d=stem_s2d)
+
+
+# --------------------------------------------------------------------------
+# Whole-model serving fn (AnatCNN: int8 backbone + f32 head)
+# --------------------------------------------------------------------------
+
+def quantize_anat_cnn(model, variables: dict, calib_batches,
+                      preprocess=None):
+    """(AnatCNN, trained variables) -> (serve_fn, qtree).
+
+    ``serve_fn(batch)`` matches the Predictor output contract:
+    {'logits', 'probs', 'embeddings'}; the head (and its 'backbone_gap'
+    tap) runs in f32 on the dequantized feature map. ``calib_batches``
+    iterates raw batch dicts; ``preprocess`` is the same fused
+    normalization fn the float Predictor uses.
+    """
+    from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
+
+    depth = model.resnet_depth
+    folded = fold_backbone(variables, depth)
+
+    def _vol(batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
+        x = batch[model.input_key]
+        if x.ndim == 4:
+            x = x[..., None]
+        return x.astype(jnp.float32)
+
+    absmax = calibrate_backbone(
+        folded, (_vol(b) for b in calib_batches), depth=depth,
+        dilated=model.dilated, stem_s2d=model.stem_s2d)
+    qtree = quantize_backbone(folded, absmax, depth=depth,
+                              dilated=model.dilated,
+                              stem_s2d=model.stem_s2d)
+
+    head = ClassifierHead3D(
+        n_classes=model.n_classes, conv_out=tuple(model.conv_out),
+        filter_size=tuple(model.filter_size),
+        linear_out=tuple(model.linear_out),
+        batchnorm_begin=model.batchnorm_begin,
+        batchnorm_conv=model.batchnorm_conv,
+        batchnorm_dense=model.batchnorm_dense,
+        trailing_relu=model.trailing_relu,
+        bn_torch_stats=model.bn_torch_stats)
+    head_vars = {"params": variables["params"]["head"]}
+    stats = variables.get("batch_stats", {})
+    if "head" in stats:
+        head_vars["batch_stats"] = stats["head"]
+
+    def serve_fn(batch):
+        fmap = int8_backbone_apply(qtree, _vol(batch))
+        out = head.apply(head_vars, fmap, train=False)
+        return {"logits": out["logits"],
+                "probs": jax.nn.softmax(out["logits"], axis=-1),
+                "embeddings": out["embeddings"]}
+
+    return serve_fn, qtree
+
+
+def quantization_error(model, variables, serve_fn, batch,
+                       preprocess=None) -> dict:
+    """Float-vs-int8 drift report on one batch (for tests/validation).
+
+    ``serve_fn`` (from quantize_anat_cnn) applies ``preprocess`` itself,
+    so it receives the raw batch; the float reference gets the
+    preprocessed one."""
+    pre = dict(preprocess(batch)) if preprocess is not None else batch
+    ref = model.apply(variables, pre, train=False)
+    got = serve_fn(batch)
+    rl, gl = np.asarray(ref["logits"]), np.asarray(got["logits"])
+    denom = np.maximum(np.abs(rl).max(), 1e-12)
+    return {
+        "argmax_agree": float((rl.argmax(-1) == gl.argmax(-1)).mean()),
+        "logit_max_rel_err": float(np.abs(rl - gl).max() / denom),
+        "prob_max_abs_err": float(
+            np.abs(np.asarray(ref.get("probs",
+                                      jax.nn.softmax(ref["logits"], -1)))
+                   - np.asarray(got["probs"])).max()),
+    }

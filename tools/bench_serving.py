@@ -66,6 +66,12 @@ def main(argv=None):
     parser.add_argument("--host", action="store_true",
                         help="also measure host->host predict_batch "
                              "(tunnel-bound on remote-TPU rigs)")
+    parser.add_argument("--int8", action="store_true",
+                        help="also measure the PTQ int8 serving path "
+                             "(inference/quantize.py)")
+    parser.add_argument("--skip-float", action="store_true",
+                        help="skip the float surfaces (quick int8-only "
+                             "runs)")
     args = parser.parse_args(argv)
 
     import jax
@@ -101,38 +107,44 @@ def main(argv=None):
 
     results = {}
     pred = Predictor(model, variables, batch_size=b, preprocess=preprocess)
+    tag0 = jnp.float32(0.0)
+
+    def _chain_and_time(core, variables, batch, label, key):
+        """Scan-chain ``core`` x iters with a data dependency between
+        iterations (probs perturb the next input), timed around a real
+        scalar fetch — the only trustworthy methodology on this rig
+        (see module docstring)."""
+
+        @jax.jit
+        def chained(variables, batch, tag0):
+            def body(carry, _):
+                mri, tag = carry
+                bb = dict(batch)
+                bb["mri"] = mri + tag
+                out = core(variables, bb)
+                new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
+                return (mri, new_tag), ()
+            (mri, tag), _ = jax.lax.scan(
+                body, (batch["mri"], tag0), None, length=args.iters)
+            return tag
+
+        float(chained(variables, batch, tag0))  # compile + warm
+        t0 = time.perf_counter()
+        tag = float(chained(variables, batch, tag0))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(tag)
+        results[key] = round(b * args.iters / dt, 1)
+        results[key.replace("_vol_s", "_batch_ms")] = round(
+            dt / args.iters * 1000, 1)
+        print(f"{label} (batch {b}, scan-chained x{args.iters}): "
+              f"{results[key]} vol/s", file=sys.stderr)
 
     # --- Predictor's jitted serve fn: scan-chained ground truth. ---
-    # Each iteration's probs perturb the next iteration's input, so XLA
-    # cannot overlap or elide iterations; the final scalar fetch is real
-    # data and cannot return before all K executions finish.
-    serve_core = pred._raw_fn
-
-    @jax.jit
-    def chained(variables, batch, tag0):
-        def body(carry, _):
-            mri, tag = carry
-            out = serve_core(variables,
-                             {"mri": mri + tag, "mri_mask": batch["mri_mask"]})
-            new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
-            return (mri, new_tag), ()
-        (mri, tag), _ = jax.lax.scan(
-            body, (batch["mri"], tag0), None, length=args.iters)
-        return tag
-
-    tag0 = jnp.float32(0.0)
-    float(chained(pred.variables, dev, tag0))  # compile + warm
-    t0 = time.perf_counter()
-    tag = float(chained(pred.variables, dev, tag0))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(tag)
-    results["predictor_fn_vol_s"] = round(b * args.iters / dt, 1)
-    results["predictor_fn_batch_ms"] = round(dt / args.iters * 1000, 1)
-    print(f"Predictor jitted serve (batch {b}, min-max fused, logits+"
-          f"probs+embeddings, scan-chained x{args.iters}): "
-          f"{results['predictor_fn_vol_s']} vol/s "
-          f"({results['predictor_fn_batch_ms']} ms/batch)",
-          file=sys.stderr)
+    if not args.skip_float:
+        _chain_and_time(
+            pred._raw_fn, pred.variables, dev,
+            "Predictor jitted serve (min-max fused, logits+probs+"
+            "embeddings)", "predictor_fn_vol_s")
 
     # --- Memoized-quantile serve: the steady-state production path. ---
     # Per-scan min-max bounds are training-invariant; the dataset memoizes
@@ -155,30 +167,40 @@ def main(argv=None):
         dev["mri"], dev["mri_mask"], (0.01, 0.99))
     pred_memo = Predictor(model, variables, batch_size=b,
                           preprocess=preprocess_memo)
-    memo_core = pred_memo._raw_fn
+    if not args.skip_float:
+        _chain_and_time(
+            pred_memo._raw_fn, pred_memo.variables, dev_memo,
+            "Predictor jitted serve, memoized quantiles (apply-only "
+            "min-max)", "predictor_memo_vol_s")
 
-    @jax.jit
-    def chained_memo(variables, batch, tag0):
-        def body(carry, _):
-            mri, tag = carry
-            out = memo_core(variables, {
-                "mri": mri + tag, "mri_mask": batch["mri_mask"],
-                "mri_qminmax": batch["mri_qminmax"]})
-            new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
-            return (mri, new_tag), ()
-        (mri, tag), _ = jax.lax.scan(
-            body, (batch["mri"], tag0), None, length=args.iters)
-        return tag
+    # --- PTQ int8 serving path (inference/quantize.py). ---
+    # Same output contract, memoized min-max preprocessing; int8 weights
+    # and activations through the backbone (the v5e MXU's 2x-peak mode),
+    # f32 head. Drift vs the float model is reported alongside.
+    if args.int8:
+        from multimodal_alzheimer_tpu.inference.quantize import (
+            quantization_error,
+            quantize_anat_cnn,
+        )
 
-    float(chained_memo(pred_memo.variables, dev_memo, tag0))  # warm
-    t0 = time.perf_counter()
-    tag = float(chained_memo(pred_memo.variables, dev_memo, tag0))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(tag)
-    results["predictor_memo_vol_s"] = round(b * args.iters / dt, 1)
-    print(f"Predictor jitted serve, memoized quantiles (batch {b}, "
-          f"apply-only min-max, scan-chained x{args.iters}): "
-          f"{results['predictor_memo_vol_s']} vol/s", file=sys.stderr)
+        serve_q, _ = quantize_anat_cnn(model, variables, [dev_memo],
+                                       preprocess=preprocess_memo)
+        qerr = quantization_error(model, variables, serve_q, dev_memo,
+                                  preprocess=preprocess_memo)
+        results["int8_argmax_agree"] = round(qerr["argmax_agree"], 4)
+        results["int8_logit_rel_err"] = round(
+            qerr["logit_max_rel_err"], 4)
+        print(f"int8 drift vs float: argmax agree "
+              f"{qerr['argmax_agree']:.4f}, max logit rel err "
+              f"{qerr['logit_max_rel_err']:.4f}", file=sys.stderr)
+        _chain_and_time(
+            lambda _, bb: serve_q(bb), None, dev_memo,
+            "int8 Predictor serve (PTQ backbone, memoized min-max)",
+            "int8_vol_s")
+
+    if args.skip_float:
+        print(json.dumps({"metric": "serving", "batch": b, **results}))
+        return
 
     # --- Exported StableHLO artifact round-trip. ---
     blob = export_model(model, variables, dev, preprocess=preprocess)
@@ -234,30 +256,10 @@ def main(argv=None):
                                   .astype(np.float32))
     v3 = fusion.init(jax.random.PRNGKey(0), preprocess3(dev3), train=False)
     pred3 = Predictor(fusion, v3, batch_size=b, preprocess=preprocess3)
-    core3 = pred3._raw_fn
-
-    @jax.jit
-    def chained3(variables, batch, tag0):
-        def body(carry, _):
-            mri, tag = carry
-            bb = dict(batch)
-            bb["mri"] = mri + tag
-            out = core3(variables, bb)
-            new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
-            return (mri, new_tag), ()
-        (mri, tag), _ = jax.lax.scan(
-            body, (batch["mri"], tag0), None, length=args.iters)
-        return tag
-
-    float(chained3(pred3.variables, dev3, tag0))  # warm
-    t0 = time.perf_counter()
-    tag = float(chained3(pred3.variables, dev3, tag0))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(tag)
-    results["three_stage_vol_s"] = round(b * args.iters / dt, 1)
-    print(f"3-stage fusion serve (PET+MRI+tabular, shared towers, "
-          f"memoized min-max, scan-chained x{args.iters}): "
-          f"{results['three_stage_vol_s']} vol/s", file=sys.stderr)
+    _chain_and_time(
+        pred3._raw_fn, pred3.variables, dev3,
+        "3-stage fusion serve (PET+MRI+tabular, shared towers, memoized "
+        "min-max)", "three_stage_vol_s")
 
     if args.host:
         # Full host->host path incl. padding + H2D + D2H. Tunnel-bound
