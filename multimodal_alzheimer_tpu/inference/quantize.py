@@ -401,6 +401,45 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
     return serve_fn, qtree
 
 
+def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
+                                   preprocess=None):
+    """int8 serving for the 3-stage fusion: quantized MRI backbone fed to
+    every consumer through the shared-tower path.
+
+    The MRI tower dominates the 3-stage serve (BASELINE.md); the
+    canonical copy (``model_anat_pet.mri_model``, the one the shared
+    forward reads — all_modalities_fusion.py) is replaced by the int8
+    backbone + f32 head, and its output dict enters the fusion graph via
+    the external-``towers`` hook, so the float MRI tower is never traced.
+    PET/tabular towers and all fusion heads stay in the model dtype.
+    Requires the frozen shared-tower regime (``share_towers=True`` — the
+    reference's default), which also guarantees the duplicate MRI copy
+    in model_anat_tab holds identical weights.
+    """
+    mri_model = fusion.model_anat_pet.mri_model
+    mri_vars = {
+        "params": variables["params"]["model_anat_pet"]["mri_model"],
+        "batch_stats":
+            variables["batch_stats"]["model_anat_pet"]["mri_model"],
+    }
+    pre_batches = ([dict(preprocess(b)) for b in calib_batches]
+                   if preprocess is not None else list(calib_batches))
+    serve_mri, qtree = quantize_anat_cnn(mri_model, mri_vars, pre_batches,
+                                         preprocess=None)
+
+    def serve_fn(batch):
+        pre = dict(preprocess(batch)) if preprocess is not None else batch
+        mri_out = serve_mri(pre)
+        towers = {"mri": {"logits": mri_out["logits"],
+                          "embeddings": mri_out["embeddings"]}}
+        out = fusion.apply(variables, pre, train=False, towers=towers)
+        return {"logits": out["logits"],
+                "probs": jax.nn.softmax(out["logits"], axis=-1),
+                "embeddings": out["embeddings"]}
+
+    return serve_fn, qtree
+
+
 def quantization_error(model, variables, serve_fn, batch,
                        preprocess=None) -> dict:
     """Float-vs-int8 drift report on one batch (for tests/validation).

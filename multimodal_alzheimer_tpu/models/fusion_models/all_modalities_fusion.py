@@ -94,10 +94,18 @@ class AllModalitiesFusion(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False) -> dict:
+    def __call__(self, batch: dict, train: bool = False,
+                 towers: dict | None = None) -> dict:
+        # ``towers`` optionally supplies externally-computed stage-1 tower
+        # output dicts (keys 'pet'/'mri'/'tab') that replace the in-graph
+        # forwards — the int8 serving path (inference/quantize.py) feeds
+        # the quantized MRI backbone's outputs this way. Only meaningful
+        # under share_towers (frozen regime); ignored during init.
         # Sharing must not change the variable tree: during init, run the
         # unshared graph so every duplicate tower's params/stats exist for
         # checkpoint grafting and save/restore.
+        if towers and not self.share_towers:
+            raise ValueError("external towers require share_towers=True")
         if self.share_towers and not self.is_initializing():
             if not (self.model_anat_pet.freeze_towers
                     and self.model_anat_tab.freeze_towers
@@ -106,10 +114,16 @@ class AllModalitiesFusion(nn.Module):
                     "share_towers=True requires freeze_towers=True on all "
                     "three stage-2 sub-models (sharing an unfrozen tower "
                     "would merge two independently-trained copies)")
-            ap = self.model_anat_pet(batch, train, return_towers=True)
-            at = self.model_anat_tab(
-                batch, train, towers={"mri": ap["towers"]["mri"]},
+            ext = towers or {}
+            ap = self.model_anat_pet(
+                batch, train,
+                towers={k: ext[k] for k in ("pet", "mri") if k in ext},
                 return_towers=True)
+            at_towers = {"mri": ap["towers"]["mri"]}
+            if "tab" in ext:
+                at_towers["tab"] = ext["tab"]
+            at = self.model_anat_tab(batch, train, towers=at_towers,
+                                     return_towers=True)
             pt = self.model_pet_tab(
                 batch, train, towers={"pet": ap["towers"]["pet"],
                                       "tab": at["towers"]["tab"]})

@@ -119,3 +119,77 @@ def test_bottleneck_depth_raises():
     model, variables, batch = _model_and_batch()
     with pytest.raises(NotImplementedError):
         Q.fold_backbone(variables, 50)
+
+
+def _fusion_and_batch():
+    from multimodal_alzheimer_tpu.models.fusion_models.all_modalities_fusion import (  # noqa: E501
+        AllModalitiesFusion,
+    )
+    from multimodal_alzheimer_tpu.train.checkpoint import (
+        sync_tower_duplicates,
+    )
+
+    pet_hp = {"n_classes": 3, "conv_out": (4,), "filter_size": (3,),
+              "linear_out": 8}
+    mri_hp = {"n_classes": 3, "resnet_depth": 10}
+    tab_hp = {"n_classes": 3, "hidden": (16, 32)}
+    hp2 = {"n_classes": 3}  # no lr_pretrained -> frozen towers
+    fusion = AllModalitiesFusion.from_hparams(
+        {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None},
+        hp2, hp2, hp2, pet_hp, mri_hp, tab_hp)
+    assert fusion.share_towers
+    rng = np.random.default_rng(7)
+    s = 16
+    batch = {
+        "pet1451": jnp.asarray(rng.normal(size=(2, s, s, s))
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(size=(2, s, s, s))
+                           .astype(np.float32)),
+        "tabular": jnp.asarray(rng.normal(size=(2, 9)).astype(np.float32)),
+    }
+    variables = sync_tower_duplicates(
+        fusion.init(jax.random.PRNGKey(0), batch, train=False))
+    return fusion, variables, batch
+
+
+def test_int8_fusion_serve_drift_bounded():
+    fusion, variables, batch = _fusion_and_batch()
+    serve, _ = Q.quantize_all_modalities_fusion(fusion, variables, [batch])
+    err = Q.quantization_error(fusion, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+    out = serve(batch)
+    assert set(out) == {"logits", "probs", "embeddings"}
+    assert out["logits"].shape == (2, 3)
+    assert "fusion" in out["embeddings"]
+
+
+def test_int8_serve_exports_to_stablehlo():
+    """The int8 graph must survive the AOT export round-trip (the
+    deployment artifact path, inference/export.py) bit-identically."""
+    import jax.numpy as jnp_
+    from jax import export as jax_export
+
+    model, variables, batch = _model_and_batch()
+    serve, _ = Q.quantize_anat_cnn(model, variables, [batch])
+    exported = jax_export.export(jax.jit(serve))(batch)
+    blob = bytes(exported.serialize())
+    reloaded = jax_export.deserialize(blob)
+    out_live = serve(batch)
+    out_art = reloaded.call(batch)
+    # The artifact recompiles through a different pipeline; the integer
+    # convs are bit-exact but the f32 epilogue/head may re-associate.
+    np.testing.assert_allclose(np.asarray(out_live["logits"]),
+                               np.asarray(out_art["logits"]),
+                               rtol=1e-6, atol=1e-6)
+    assert out_art["logits"].dtype == jnp_.float32
+
+
+def test_external_towers_require_share():
+    fusion, variables, batch = _fusion_and_batch()
+    unshared = fusion.clone(share_towers=False)
+    mri_out = {"logits": jnp.zeros((2, 3)),
+               "embeddings": {"backbone_gap": jnp.zeros((2, 512))}}
+    with pytest.raises(ValueError, match="share_towers"):
+        unshared.apply(variables, batch, train=False,
+                       towers={"mri": mri_out})

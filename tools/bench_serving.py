@@ -173,6 +173,36 @@ def main(argv=None):
             "Predictor jitted serve, memoized quantiles (apply-only "
             "min-max)", "predictor_memo_vol_s")
 
+    # --- 3-stage fusion construction (shared by float + int8 benches) ---
+    from multimodal_alzheimer_tpu.models import AllModalitiesFusion
+
+    def _build_fusion():
+        pet_hp = {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+                  "filter_size": (5, 5, 3, 3), "linear_out": 64}
+        mri_hp = {"n_classes": 3, "resnet_depth": 18, "linear_out": ()}
+        tab_hp = {"n_classes": 3, "hidden": (256, 1024)}
+        fusion = AllModalitiesFusion.from_hparams(
+            {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None},
+            {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
+            pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16)
+
+        def preprocess3(batch):
+            out = preprocess_memo(batch)
+            out["pet1451"] = (out["pet1451"] - 0.5145) / 0.5383
+            return out
+
+        dev3 = dict(dev_memo)
+        dev3["pet1451"] = jnp.asarray(
+            rng.normal(0.5, 0.5, (b,) + VOLUME_SHAPE).astype(np.float32))
+        dev3["tabular"] = jnp.asarray(rng.normal(size=(b, 9))
+                                      .astype(np.float32))
+        from multimodal_alzheimer_tpu.train.checkpoint import (
+            sync_tower_duplicates,
+        )
+        v3 = sync_tower_duplicates(fusion.init(
+            jax.random.PRNGKey(0), preprocess3(dev3), train=False))
+        return fusion, v3, dev3, preprocess3
+
     # --- PTQ int8 serving path (inference/quantize.py). ---
     # Same output contract, memoized min-max preprocessing; int8 weights
     # and activations through the backbone (the v5e MXU's 2x-peak mode),
@@ -197,6 +227,27 @@ def main(argv=None):
             lambda _, bb: serve_q(bb), None, dev_memo,
             "int8 Predictor serve (PTQ backbone, memoized min-max)",
             "int8_vol_s")
+
+        # 3-stage fusion with the int8 MRI backbone fed through the
+        # shared-tower hook (quantize_all_modalities_fusion).
+        from multimodal_alzheimer_tpu.inference.quantize import (
+            quantize_all_modalities_fusion,
+        )
+
+        fusion, v3, dev3, preprocess3 = _build_fusion()
+        serve3_q, _ = quantize_all_modalities_fusion(
+            fusion, v3, [dev3], preprocess=preprocess3)
+        qerr3 = quantization_error(fusion, v3, serve3_q, dev3,
+                                   preprocess=preprocess3)
+        results["int8_3stage_argmax_agree"] = round(
+            qerr3["argmax_agree"], 4)
+        print(f"int8 3-stage drift vs float: argmax agree "
+              f"{qerr3['argmax_agree']:.4f}, max prob abs err "
+              f"{qerr3['prob_max_abs_err']:.4f}", file=sys.stderr)
+        _chain_and_time(
+            lambda _, bb: serve3_q(bb), None, dev3,
+            "int8 3-stage fusion serve (int8 MRI tower, shared towers, "
+            "memoized min-max)", "int8_3stage_vol_s")
 
     if args.skip_float:
         print(json.dumps({"metric": "serving", "batch": b, **results}))
@@ -233,28 +284,7 @@ def main(argv=None):
     # --- 3-stage fusion serving: the full production deployment. ---
     # All three towers + three stage-2 heads + the stage-3 classifier,
     # shared frozen towers, memoized MRI bounds, one jit.
-    from multimodal_alzheimer_tpu.models import AllModalitiesFusion
-
-    pet_hp = {"n_classes": 3, "conv_out": (8, 16, 32, 64),
-              "filter_size": (5, 5, 3, 3), "linear_out": 64}
-    mri_hp = {"n_classes": 3, "resnet_depth": 18, "linear_out": ()}
-    tab_hp = {"n_classes": 3, "hidden": (256, 1024)}
-    fusion = AllModalitiesFusion.from_hparams(
-        {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None},
-        {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
-        pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16)
-
-    def preprocess3(batch):
-        out = preprocess_memo(batch)
-        out["pet1451"] = (out["pet1451"] - 0.5145) / 0.5383
-        return out
-
-    dev3 = dict(dev_memo)
-    dev3["pet1451"] = jnp.asarray(
-        rng.normal(0.5, 0.5, (b,) + VOLUME_SHAPE).astype(np.float32))
-    dev3["tabular"] = jnp.asarray(rng.normal(size=(b, 9))
-                                  .astype(np.float32))
-    v3 = fusion.init(jax.random.PRNGKey(0), preprocess3(dev3), train=False)
+    fusion, v3, dev3, preprocess3 = _build_fusion()
     pred3 = Predictor(fusion, v3, batch_size=b, preprocess=preprocess3)
     _chain_and_time(
         pred3._raw_fn, pred3.variables, dev3,
