@@ -16,19 +16,29 @@ import numpy as np
 
 class Predictor:
     def __init__(self, model, variables: dict, batch_size: int = 32,
-                 preprocess=None, mesh=None):
+                 preprocess=None, mesh=None, serve_fn=None):
+        """``serve_fn`` optionally replaces the model-apply serve core
+        with a prebuilt ``batch -> {'logits','probs','embeddings'}``
+        function (e.g. the int8 path from ``inference.quantize`` — which
+        applies its own preprocessing); padding/sharding/iteration stay
+        identical to the float predictor."""
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
         self.preprocess = preprocess
 
-        def fn(variables, batch):
-            if preprocess is not None:
-                batch = preprocess(batch)
-            out = model.apply(variables, batch, train=False)
-            probs = jax.nn.softmax(out["logits"], axis=-1)
-            return {"logits": out["logits"], "probs": probs,
-                    "embeddings": out["embeddings"]}
+        if serve_fn is not None:
+            def fn(variables, batch):
+                del variables
+                return serve_fn(batch)
+        else:
+            def fn(variables, batch):
+                if preprocess is not None:
+                    batch = preprocess(batch)
+                out = model.apply(variables, batch, train=False)
+                probs = jax.nn.softmax(out["logits"], axis=-1)
+                return {"logits": out["logits"], "probs": probs,
+                        "embeddings": out["embeddings"]}
 
         self._raw_fn = fn  # un-jitted, for composition (scan/export/bench)
         self._fn = jax.jit(fn)

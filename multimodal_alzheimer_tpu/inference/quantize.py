@@ -28,9 +28,10 @@ flagship head is GAP + Dense(3), BASELINE.md's budget) — and the head
 runs in f32 on the dequantized feature map, preserving the
 `backbone_gap` embedding tap contract.
 
-Scope: basic-block depths (10/18/34), both dilated (Med3D parity) and
-strided layouts, s2d or plain stem. Depth-50 bottlenecks raise (no
-serving demand yet; the flagship is ResNet-18).
+Scope: every Med3D depth — basic blocks (10/18/34) and depth-50
+bottlenecks — both dilated (Med3D parity) and strided layouts, s2d or
+plain stem. The largest contraction (bottleneck conv2: 27 taps x 512
+ch) still keeps the int32 accumulator safe.
 
 Reference: no counterpart (pkg/ has no inference optimization layer);
 serving parity surface is inference/predictor.py's output contract.
@@ -76,10 +77,6 @@ def fold_backbone(variables: dict, depth: int = 18) -> dict:
     if "backbone" in params:
         params, stats = params["backbone"], stats["backbone"]
     kind, layout = BLOCK_CONFIGS[depth]
-    if kind != "basic":
-        raise NotImplementedError(
-            "int8 serving covers basic-block depths 10/18/34; depth "
-            f"{depth} uses bottlenecks")
 
     folded = {"conv1": _fold_pair(params["conv1"], params["bn1"],
                                   stats["bn1"])}
@@ -91,6 +88,8 @@ def fold_backbone(variables: dict, depth: int = 18) -> dict:
                 "conv1": _fold_pair(p["conv1"], p["bn1"], s["bn1"]),
                 "conv2": _fold_pair(p["conv2"], p["bn2"], s["bn2"]),
             }
+            if kind == "bottleneck":
+                blk["conv3"] = _fold_pair(p["conv3"], p["bn3"], s["bn3"])
             if "downsample_conv" in p:
                 blk["downsample"] = _fold_pair(
                     p["downsample_conv"], p["downsample_bn"],
@@ -210,7 +209,7 @@ def _backbone_forward(tree, x, ctx, *, depth, dilated, stem_s2d):
     the same s2d graph runs in f32 (numerically identical to the plain
     7^3 stride-2 conv, tests/test_s2d_stem.py).
     """
-    _, layout = BLOCK_CONFIGS[depth]
+    kind, layout = BLOCK_CONFIGS[depth]
 
     x = ctx.requant("stem_in", x)
     stem = tree["conv1"]
@@ -228,9 +227,17 @@ def _backbone_forward(tree, x, ctx, *, depth, dilated, stem_s2d):
             name = f"layer{li}_block{bi}"
             blk = tree[name]
             st = stride if bi == 0 else 1
-            h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, st, dilation))
-            h = ctx.requant(f"{name}/mid", h)
-            h = ctx.conv(blk["conv2"], h, 1, dilation)
+            if kind == "basic":
+                h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, st,
+                                         dilation))
+                h = ctx.requant(f"{name}/mid", h)
+                h = ctx.conv(blk["conv2"], h, 1, dilation)
+            else:  # bottleneck: 1^3 -> 3^3(stride/dilation) -> 1^3 (x4)
+                h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, 1, 1))
+                h = ctx.requant(f"{name}/mid1", h)
+                h = jax.nn.relu(ctx.conv(blk["conv2"], h, st, dilation))
+                h = ctx.requant(f"{name}/mid2", h)
+                h = ctx.conv(blk["conv3"], h, 1, 1)
             if "downsample" in blk:
                 res = ctx.conv(blk["downsample"], carrier, st, 1)
             elif isinstance(ctx, _Int8Ctx):
@@ -295,7 +302,7 @@ def _quantize_kernel(entry, in_scale: float):
 def quantize_backbone(folded: dict, absmax: Dict[str, float], *,
                       depth=18, dilated=True, stem_s2d=True) -> dict:
     """Folded f32 tree + calibration absmax -> int8 serving tree."""
-    _, layout = BLOCK_CONFIGS[depth]
+    kind, layout = BLOCK_CONFIGS[depth]
     scales = {k: max(v, 1e-12) / 127.0 for k, v in absmax.items()}
 
     stem = dict(folded["conv1"])
@@ -309,9 +316,15 @@ def quantize_backbone(folded: dict, absmax: Dict[str, float], *,
             name = f"layer{li}_block{bi}"
             blk = folded[name]
             q = {"conv1": _quantize_kernel(blk["conv1"],
-                                           scales[carrier_site]),
-                 "conv2": _quantize_kernel(blk["conv2"],
-                                           scales[f"{name}/mid"])}
+                                           scales[carrier_site])}
+            if kind == "basic":
+                q["conv2"] = _quantize_kernel(blk["conv2"],
+                                              scales[f"{name}/mid"])
+            else:
+                q["conv2"] = _quantize_kernel(blk["conv2"],
+                                              scales[f"{name}/mid1"])
+                q["conv3"] = _quantize_kernel(blk["conv3"],
+                                              scales[f"{name}/mid2"])
             if "downsample" in blk:
                 q["downsample"] = _quantize_kernel(blk["downsample"],
                                                    scales[carrier_site])

@@ -115,10 +115,17 @@ def test_serve_contract_and_embedding_tap():
         np.asarray(out["probs"].sum(-1)), 1.0, rtol=1e-5)
 
 
-def test_bottleneck_depth_raises():
-    model, variables, batch = _model_and_batch()
-    with pytest.raises(NotImplementedError):
-        Q.fold_backbone(variables, 50)
+def test_int8_bottleneck_depth50():
+    """Depth-50 (Bottleneck x4 expansion, 2048-wide features) through
+    the same fold/calibrate/quantize path."""
+    model, variables, batch = _model_and_batch(depth=50,
+                                               spatial=(16, 16, 16))
+    serve, _ = Q.quantize_anat_cnn(model, variables, [batch])
+    err = Q.quantization_error(model, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+    out = serve(batch)
+    assert out["embeddings"]["backbone_gap"].shape == (2, 2048)
 
 
 def _fusion_and_batch():
@@ -183,6 +190,34 @@ def test_int8_serve_exports_to_stablehlo():
                                np.asarray(out_art["logits"]),
                                rtol=1e-6, atol=1e-6)
     assert out_art["logits"].dtype == jnp_.float32
+
+
+def test_int8_predictor_padding_and_mesh():
+    """The int8 serve core plugs into Predictor (padding of ragged
+    tails, DP mesh sharding) and matches the bare serve fn."""
+    from multimodal_alzheimer_tpu.inference.predictor import Predictor
+    from multimodal_alzheimer_tpu.parallel import make_mesh
+
+    model, variables, batch = _model_and_batch()
+    serve, _ = Q.quantize_anat_cnn(model, variables, [batch])
+    ref = np.asarray(serve(batch)["logits"])
+
+    # ragged tail: 1 sample padded to the fixed batch of 2
+    pred = Predictor(model, variables, batch_size=2, serve_fn=serve)
+    out = pred.predict_batch({"mri": np.asarray(batch["mri"])[:1]})
+    assert out["logits"].shape == (1, 3)
+    np.testing.assert_allclose(out["logits"], ref[:1], rtol=1e-5,
+                               atol=1e-6)
+
+    # 8-device data-parallel mesh: identical results
+    rng = np.random.default_rng(11)
+    batch8 = {"mri": rng.normal(0, 1, (8, 20, 24, 20))
+              .astype(np.float32)}
+    ref8 = np.asarray(serve({"mri": jnp.asarray(batch8["mri"])})["logits"])
+    pred8 = Predictor(model, variables, batch_size=8, serve_fn=serve,
+                      mesh=make_mesh(8))
+    out8 = pred8.predict_batch(batch8)
+    np.testing.assert_allclose(out8["logits"], ref8, rtol=1e-5, atol=1e-6)
 
 
 def test_external_towers_require_share():
