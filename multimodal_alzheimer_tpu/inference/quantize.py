@@ -414,6 +414,45 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
     return serve_fn, qtree
 
 
+def _quantize_tower(mri_model, tower_vars: dict, pre_batches):
+    """Quantize one AnatCNN tower given its variable subtree and already-
+    preprocessed calibration batches; returns (serve_mri, qtree)."""
+    return quantize_anat_cnn(mri_model, tower_vars, pre_batches,
+                             preprocess=None)
+
+
+def quantize_mri_fusion(fusion, variables: dict, calib_batches,
+                        preprocess=None):
+    """int8 MRI tower for a stage-2 fusion (AnatPETFusion /
+    TabularMRIFusion — any fusion whose ``__call__`` accepts
+    ``towers={'mri': ...}`` and owns an ``mri_model`` submodule).
+
+    The quantized tower's output dict enters through the ``towers``
+    hook, so the float MRI forward is never traced; the partner tower
+    (PET / tabular) and the fusion head stay in the model dtype.
+    """
+    pre_batches = ([dict(preprocess(b)) for b in calib_batches]
+                   if preprocess is not None else list(calib_batches))
+    serve_mri, qtree = _quantize_tower(
+        fusion.mri_model,
+        {"params": variables["params"]["mri_model"],
+         "batch_stats": variables["batch_stats"]["mri_model"]},
+        pre_batches)
+
+    def serve_fn(batch):
+        pre = dict(preprocess(batch)) if preprocess is not None else batch
+        mri_out = serve_mri(pre)
+        out = fusion.apply(
+            variables, pre, train=False,
+            towers={"mri": {"logits": mri_out["logits"],
+                            "embeddings": mri_out["embeddings"]}})
+        return {"logits": out["logits"],
+                "probs": jax.nn.softmax(out["logits"], axis=-1),
+                "embeddings": out["embeddings"]}
+
+    return serve_fn, qtree
+
+
 def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
                                    preprocess=None):
     """int8 serving for the 3-stage fusion: quantized MRI backbone fed to
@@ -437,8 +476,7 @@ def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
     }
     pre_batches = ([dict(preprocess(b)) for b in calib_batches]
                    if preprocess is not None else list(calib_batches))
-    serve_mri, qtree = quantize_anat_cnn(mri_model, mri_vars, pre_batches,
-                                         preprocess=None)
+    serve_mri, qtree = _quantize_tower(mri_model, mri_vars, pre_batches)
 
     def serve_fn(batch):
         pre = dict(preprocess(batch)) if preprocess is not None else batch

@@ -220,6 +220,42 @@ def test_int8_predictor_padding_and_mesh():
     np.testing.assert_allclose(out8["logits"], ref8, rtol=1e-5, atol=1e-6)
 
 
+def test_int8_stage2_fusion_serves():
+    """Stage-2 fusions (PET+MRI, MRI+tabular) serve with the int8 MRI
+    tower through their towers hook — argmax-identical logits."""
+    from multimodal_alzheimer_tpu.models.fusion_models.anat_pet_fusion import (  # noqa: E501
+        AnatPETFusion,
+    )
+    from multimodal_alzheimer_tpu.models.fusion_models.tabular_mri_fusion import (  # noqa: E501
+        TabularMRIFusion,
+    )
+
+    pet_hp = {"n_classes": 3, "conv_out": (4,), "filter_size": (3,),
+              "linear_out": 8}
+    mri_hp = {"n_classes": 3, "resnet_depth": 10}
+    tab_hp = {"n_classes": 3, "hidden": (16, 32)}
+    hp2 = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None}
+    rng = np.random.default_rng(9)
+    s = 16
+    batch = {
+        "pet1451": jnp.asarray(rng.normal(size=(2, s, s, s))
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(size=(2, s, s, s))
+                           .astype(np.float32)),
+        "tabular": jnp.asarray(rng.normal(size=(2, 9)).astype(np.float32)),
+    }
+    models = [
+        AnatPETFusion.from_hparams(hp2, pet_hp, mri_hp),
+        TabularMRIFusion.from_hparams(hp2, mri_hp, tab_hp),
+    ]
+    for fusion in models:
+        variables = fusion.init(jax.random.PRNGKey(0), batch, train=False)
+        serve, _ = Q.quantize_mri_fusion(fusion, variables, [batch])
+        err = Q.quantization_error(fusion, variables, serve, batch)
+        assert err["argmax_agree"] == 1.0, (type(fusion).__name__, err)
+        assert err["prob_max_abs_err"] < 0.01, (type(fusion).__name__, err)
+
+
 def test_external_towers_require_share():
     fusion, variables, batch = _fusion_and_batch()
     unshared = fusion.clone(share_towers=False)
