@@ -211,14 +211,16 @@ def _backbone_forward(tree, x, ctx, *, depth, dilated, stem_s2d):
     """
     kind, layout = BLOCK_CONFIGS[depth]
 
-    x = ctx.requant("stem_in", x)
-    stem = tree["conv1"]
-    if stem_s2d:
-        y = ctx.conv(stem, _s2d_input(x), 1, 1, pad="VALID")
-    else:
-        y = ctx.conv(stem, x, 2, 1)
-    y = jax.nn.relu(y)
-    carrier = ctx.pool(ctx.requant("pool_in", y))
+    with jax.named_scope("stem"):
+        x = ctx.requant("stem_in", x)
+        stem = tree["conv1"]
+        if stem_s2d:
+            y = ctx.conv(stem, _s2d_input(x), 1, 1, pad="VALID")
+        else:
+            y = ctx.conv(stem, x, 2, 1)
+        y = jax.nn.relu(y)
+    with jax.named_scope("maxpool"):
+        carrier = ctx.pool(ctx.requant("pool_in", y))
     carrier_site = "pool_in"
 
     for li, (planes, stride, dilation) in enumerate(_layer_specs(dilated),
@@ -227,24 +229,27 @@ def _backbone_forward(tree, x, ctx, *, depth, dilated, stem_s2d):
             name = f"layer{li}_block{bi}"
             blk = tree[name]
             st = stride if bi == 0 else 1
-            if kind == "basic":
-                h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, st,
-                                         dilation))
-                h = ctx.requant(f"{name}/mid", h)
-                h = ctx.conv(blk["conv2"], h, 1, dilation)
-            else:  # bottleneck: 1^3 -> 3^3(stride/dilation) -> 1^3 (x4)
-                h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, 1, 1))
-                h = ctx.requant(f"{name}/mid1", h)
-                h = jax.nn.relu(ctx.conv(blk["conv2"], h, st, dilation))
-                h = ctx.requant(f"{name}/mid2", h)
-                h = ctx.conv(blk["conv3"], h, 1, 1)
-            if "downsample" in blk:
-                res = ctx.conv(blk["downsample"], carrier, st, 1)
-            elif isinstance(ctx, _Int8Ctx):
-                res = carrier.astype(jnp.float32) * ctx.scales[carrier_site]
-            else:
-                res = carrier
-            y = jax.nn.relu(h + res)
+            with jax.named_scope(name):
+                if kind == "basic":
+                    h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, st,
+                                             dilation))
+                    h = ctx.requant(f"{name}/mid", h)
+                    h = ctx.conv(blk["conv2"], h, 1, dilation)
+                else:  # bottleneck: 1^3 -> 3^3(stride/dil) -> 1^3 (x4)
+                    h = jax.nn.relu(ctx.conv(blk["conv1"], carrier, 1, 1))
+                    h = ctx.requant(f"{name}/mid1", h)
+                    h = jax.nn.relu(ctx.conv(blk["conv2"], h, st,
+                                             dilation))
+                    h = ctx.requant(f"{name}/mid2", h)
+                    h = ctx.conv(blk["conv3"], h, 1, 1)
+                if "downsample" in blk:
+                    res = ctx.conv(blk["downsample"], carrier, st, 1)
+                elif isinstance(ctx, _Int8Ctx):
+                    res = (carrier.astype(jnp.float32)
+                           * ctx.scales[carrier_site])
+                else:
+                    res = carrier
+                y = jax.nn.relu(h + res)
             last = li == 4 and bi == layout[3] - 1
             if last:
                 return y  # f32 fmap for the float head
@@ -383,12 +388,14 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
             x = x[..., None]
         return x.astype(jnp.float32)
 
-    absmax = calibrate_backbone(
-        folded, (_vol(b) for b in calib_batches), depth=depth,
-        dilated=model.dilated, stem_s2d=model.stem_s2d)
+    vols = [_vol(b) for b in calib_batches]
+    # Mirror the backbone's own runtime fallback (resnet3d.py:285): the
+    # s2d stem layout requires a single input channel.
+    stem_s2d = model.stem_s2d and vols[0].shape[-1] == 1
+    absmax = calibrate_backbone(folded, vols, depth=depth,
+                                dilated=model.dilated, stem_s2d=stem_s2d)
     qtree = quantize_backbone(folded, absmax, depth=depth,
-                              dilated=model.dilated,
-                              stem_s2d=model.stem_s2d)
+                              dilated=model.dilated, stem_s2d=stem_s2d)
 
     head = ClassifierHead3D(
         n_classes=model.n_classes, conv_out=tuple(model.conv_out),

@@ -115,6 +115,27 @@ def test_serve_contract_and_embedding_tap():
         np.asarray(out["probs"].sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_int8_multichannel_stem_falls_back():
+    """A backbone initialized on a multi-channel volume (e.g. the early-
+    fusion PET+MRI concat) stores plain 7^3 conv1 params — the model's
+    own forward skips the s2d stem (resnet3d.py), and the quantizer must
+    derive the same decision from the calibration input, not from the
+    stem_s2d attribute (which stays True)."""
+    model = AnatCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 10, "linear_out": (),
+         "lr": 1e-3})
+    assert model.stem_s2d
+    rng = np.random.default_rng(5)
+    batch = {"mri": jnp.asarray(
+        rng.normal(0, 1, (2, 20, 24, 20, 2)).astype(np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    serve, qtree = Q.quantize_anat_cnn(model, variables, [batch])
+    assert not qtree["config"]["stem_s2d"]
+    err = Q.quantization_error(model, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+
+
 def test_int8_bottleneck_depth50():
     """Depth-50 (Bottleneck x4 expansion, 2048-wide features) through
     the same fold/calibrate/quantize path."""

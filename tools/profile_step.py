@@ -108,6 +108,70 @@ def _build_pet_step(batch_size: int):
     return step, state, batch, jax.random.PRNGKey(1)
 
 
+def _build_serve_step(batch_size: int, int8: bool):
+    """Flagship serving step (memoized min-max preprocess), bf16 or int8
+    — the tools/bench_serving.py configs, profiled region-by-region."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.ops.normalization import (
+        batched_normalize_mri,
+    )
+    from multimodal_alzheimer_tpu.ops.pallas_norm import (
+        batched_masked_quantiles,
+    )
+
+    model = AnatCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
+         "lr": 1e-3}, dtype=jnp.bfloat16)
+
+    def preprocess(b):
+        out = dict(b)
+        out["mri"] = batched_normalize_mri(
+            out["mri"], out.pop("mri_mask"),
+            {"per_scan_norm": "min_max"}, 0.99,
+            qminmax=out.pop("mri_qminmax"))
+        return out
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "mri": jnp.asarray(
+            rng_np.normal(900, 400, (batch_size,) + bench.VOLUME_SHAPE)
+            .astype(np.float32)),
+        "mri_mask": jnp.asarray(
+            (rng_np.random((batch_size,) + bench.VOLUME_SHAPE) > 0.35)
+            .astype(np.float32)),
+    }
+    batch["mri_qminmax"] = batched_masked_quantiles(
+        batch["mri"], batch["mri_mask"], (0.01, 0.99))
+    variables = model.init(jax.random.PRNGKey(0), preprocess(batch),
+                           train=False)
+
+    if int8:
+        from multimodal_alzheimer_tpu.inference.quantize import (
+            quantize_anat_cnn,
+        )
+
+        serve_q, _ = quantize_anat_cnn(model, variables, [batch],
+                                       preprocess=preprocess)
+
+        def core(state, b, rng):
+            out = serve_q(b)
+            return state, {"loss": out["probs"]
+                           .astype(jnp.float32).sum()}
+    else:
+        def core(state, b, rng):
+            out = model.apply(variables, preprocess(b), train=False)
+            probs = jax.nn.softmax(out["logits"], axis=-1)
+            return state, {"loss": probs.astype(jnp.float32).sum()}
+
+    return (jax.jit(core), jnp.float32(0.0), batch,
+            jax.random.PRNGKey(1))
+
+
 PET_REGIONS = (
     ("preprocess", (r"preprocess", r"normalize")),
     ("optimizer", (r"optimizer",)),
@@ -169,8 +233,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--config", default="flagship",
-                    choices=("flagship", "pet"),
-                    help="flagship = MRI ResNet-18; pet = SmallPETCNN")
+                    choices=("flagship", "pet", "serve", "serve_int8"),
+                    help="flagship = MRI ResNet-18 train step; pet = "
+                         "SmallPETCNN train step; serve / serve_int8 = "
+                         "bf16 / PTQ-int8 flagship inference step")
     ap.add_argument("--dump-hlo", action="store_true")
     ap.add_argument("--keep-trace", action="store_true")
     ap.add_argument("--filter", default=None,
@@ -182,6 +248,9 @@ def main(argv=None):
 
     if args.config == "pet":
         step, state, batch, rng = _build_pet_step(args.batch)
+    elif args.config in ("serve", "serve_int8"):
+        step, state, batch, rng = _build_serve_step(
+            args.batch, int8=args.config == "serve_int8")
     else:
         step, state, batch, rng = bench.build_step(args.batch)
     lowered = step.lower(state, batch, rng)
