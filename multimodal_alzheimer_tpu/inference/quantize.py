@@ -136,7 +136,18 @@ def _conv_int8(entry, q, stride, dilation, pad=None):
 
 def _s2d_input(x):
     """2x2x2 space-to-depth of a 1-channel volume, torch pad-3 stem layout
-    (mirrors models/resnet3d.py:SpaceToDepthStem — exact)."""
+    (mirrors models/resnet3d.py:SpaceToDepthStem — exact).
+
+    Layout verdicts (int8 serve, batch 128, BASELINE.md budget): this
+    pad/reshape/transpose chain costs ~2.2 ms of materialized int8
+    relayout passes — and both measured alternatives LOSE: 8 parity
+    strided-slices + stack lowers to 8 gather fusions at 1.7 ms each
+    (strided slices become gathers on this toolchain), and skipping s2d
+    for a plain stride-2 7^3 int8 conv costs 28.6 ms vs 10.1 for the
+    whole stem (XLA's C_in=1 strided int8 emitter is as weak as the bf16
+    one). A Pallas fuse of requant+interleave hits Mosaic's sublane-
+    interleave limitation (see ops/pallas_maxpool.py). Closed at ~2 ms
+    of theoretical headroom."""
     b = x.shape[0]
     dims = x.shape[1:4]
     pads = [(3, 3 + ((d + 6) % 2)) for d in dims]
@@ -366,7 +377,7 @@ def folded_backbone_apply(folded: dict, x: jnp.ndarray, *, depth=18,
 # --------------------------------------------------------------------------
 
 def quantize_anat_cnn(model, variables: dict, calib_batches,
-                      preprocess=None):
+                      preprocess=None, stem_s2d=None):
     """(AnatCNN, trained variables) -> (serve_fn, qtree).
 
     ``serve_fn(batch)`` matches the Predictor output contract:
@@ -374,6 +385,12 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
     tap) runs in f32 on the dequantized feature map. ``calib_batches``
     iterates raw batch dicts; ``preprocess`` is the same fused
     normalization fn the float Predictor uses.
+
+    ``stem_s2d``: None derives the stem layout from the model and the
+    calibration input (the default); True/False force it. Both layouts
+    are exact (the param is the canonical 7^3 kernel either way), so
+    this is purely a serving-performance knob — the s2d relayout costs
+    ~3.6 ms of unfused int8 passes at batch 128 (BASELINE.md).
     """
     from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
 
@@ -389,9 +406,12 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
         return x.astype(jnp.float32)
 
     vols = [_vol(b) for b in calib_batches]
-    # Mirror the backbone's own runtime fallback (resnet3d.py:285): the
-    # s2d stem layout requires a single input channel.
-    stem_s2d = model.stem_s2d and vols[0].shape[-1] == 1
+    if stem_s2d is None:
+        # Mirror the backbone's own runtime fallback (resnet3d.py:285):
+        # the s2d stem layout requires a single input channel.
+        stem_s2d = model.stem_s2d and vols[0].shape[-1] == 1
+    elif stem_s2d and vols[0].shape[-1] != 1:
+        raise ValueError("s2d stem requires a single input channel")
     absmax = calibrate_backbone(folded, vols, depth=depth,
                                 dilated=model.dilated, stem_s2d=stem_s2d)
     qtree = quantize_backbone(folded, absmax, depth=depth,

@@ -108,7 +108,7 @@ def _build_pet_step(batch_size: int):
     return step, state, batch, jax.random.PRNGKey(1)
 
 
-def _build_serve_step(batch_size: int, int8: bool):
+def _build_serve_step(batch_size: int, int8: bool, plain_stem=False):
     """Flagship serving step (memoized min-max preprocess), bf16 or int8
     — the tools/bench_serving.py configs, profiled region-by-region."""
     import numpy as np
@@ -155,8 +155,9 @@ def _build_serve_step(batch_size: int, int8: bool):
             quantize_anat_cnn,
         )
 
-        serve_q, _ = quantize_anat_cnn(model, variables, [batch],
-                                       preprocess=preprocess)
+        serve_q, _ = quantize_anat_cnn(
+            model, variables, [batch], preprocess=preprocess,
+            stem_s2d=False if plain_stem else None)
 
         def core(state, b, rng):
             out = serve_q(b)
@@ -239,6 +240,9 @@ def main(argv=None):
                          "bf16 / PTQ-int8 flagship inference step")
     ap.add_argument("--dump-hlo", action="store_true")
     ap.add_argument("--keep-trace", action="store_true")
+    ap.add_argument("--plain-stem", action="store_true",
+                    help="serve_int8 only: force the plain stride-2 7^3 "
+                         "stem instead of the s2d layout")
     ap.add_argument("--filter", default=None,
                     help="print EVERY device event classified into this "
                          "region (e.g. --filter layer3), largest first")
@@ -250,7 +254,8 @@ def main(argv=None):
         step, state, batch, rng = _build_pet_step(args.batch)
     elif args.config in ("serve", "serve_int8"):
         step, state, batch, rng = _build_serve_step(
-            args.batch, int8=args.config == "serve_int8")
+            args.batch, int8=args.config == "serve_int8",
+            plain_stem=args.plain_stem)
     else:
         step, state, batch, rng = bench.build_step(args.batch)
     lowered = step.lower(state, batch, rng)
