@@ -115,6 +115,51 @@ def test_serve_contract_and_embedding_tap():
         np.asarray(out["probs"].sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_int8_pet_resnet_family():
+    """PETResNetCNN (the PET Med3D classifier) quantizes through the
+    same path — it shares AnatCNN's structure with a different input
+    key (pet_resnet_cnn.py)."""
+    from multimodal_alzheimer_tpu.models.pet_models.pet_resnet_cnn import (
+        PETResNetCNN,
+    )
+
+    model = PETResNetCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 10, "linear_out": (),
+         "lr": 1e-3})
+    rng = np.random.default_rng(6)
+    batch = {"pet1451": jnp.asarray(
+        rng.normal(0.5, 0.5, (2, 20, 24, 20)).astype(np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    serve, _ = Q.quantize_anat_cnn(model, variables, [batch])
+    err = Q.quantization_error(model, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+
+
+def test_int8_stem_layout_override():
+    """stem_s2d=False forces the plain stride-2 stem (a measured serving
+    knob, BASELINE.md) — logits must agree with the default s2d layout
+    (both are exact formulations of the same conv); forcing s2d on a
+    multi-channel input must raise."""
+    model, variables, batch = _model_and_batch(seed=2)
+    serve_s2d, qt_s2d = Q.quantize_anat_cnn(model, variables, [batch])
+    serve_plain, qt_plain = Q.quantize_anat_cnn(model, variables, [batch],
+                                                stem_s2d=False)
+    assert qt_s2d["config"]["stem_s2d"] and not qt_plain["config"]["stem_s2d"]
+    a = np.asarray(serve_s2d(batch)["logits"])
+    b = np.asarray(serve_plain(batch)["logits"])
+    # Same int8 weights/scales; conv layouts differ only in summation
+    # grouping of the f32 epilogue, so drift is fp-noise level.
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+    rng = np.random.default_rng(8)
+    batch2 = {"mri": jnp.asarray(
+        rng.normal(0, 1, (2, 20, 24, 20, 2)).astype(np.float32))}
+    variables2 = model.init(jax.random.PRNGKey(0), batch2, train=False)
+    with pytest.raises(ValueError, match="single input channel"):
+        Q.quantize_anat_cnn(model, variables2, [batch2], stem_s2d=True)
+
+
 def test_int8_multichannel_stem_falls_back():
     """A backbone initialized on a multi-channel volume (e.g. the early-
     fusion PET+MRI concat) stores plain 7^3 conv1 params — the model's
