@@ -72,6 +72,10 @@ def main(argv=None):
     parser.add_argument("--skip-float", action="store_true",
                         help="skip the float surfaces (quick int8-only "
                              "runs)")
+    parser.add_argument("--fast", action="store_true",
+                        help="strided backbone (dilated=False): the "
+                             "documented ~2x performance mode — NOT "
+                             "reference-parity activations (resnet3d.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -90,7 +94,8 @@ def main(argv=None):
     b = args.batch
     model = AnatCNN.from_hparams(
         {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
-         "batchnorm_begin": False, "lr": 1e-3}, dtype=jnp.bfloat16)
+         "batchnorm_begin": False, "lr": 1e-3}, dtype=jnp.bfloat16,
+        dilated=not args.fast)
 
     def preprocess(batch):
         out = dict(batch)
@@ -228,29 +233,39 @@ def main(argv=None):
             "int8 Predictor serve (PTQ backbone, memoized min-max)",
             "int8_vol_s")
 
+        def _bench_int8_fusion():
+            from multimodal_alzheimer_tpu.inference.quantize import (
+                quantize_all_modalities_fusion,
+            )
+
+            fusion, v3, dev3, preprocess3 = _build_fusion()
+            serve3_q, _ = quantize_all_modalities_fusion(
+                fusion, v3, [dev3], preprocess=preprocess3)
+            qerr3 = quantization_error(fusion, v3, serve3_q, dev3,
+                                       preprocess=preprocess3)
+            results["int8_3stage_argmax_agree"] = round(
+                qerr3["argmax_agree"], 4)
+            print(f"int8 3-stage drift vs float: argmax agree "
+                  f"{qerr3['argmax_agree']:.4f}, max prob abs err "
+                  f"{qerr3['prob_max_abs_err']:.4f}", file=sys.stderr)
+            _chain_and_time(
+                lambda _, bb: serve3_q(bb), None, dev3,
+                "int8 3-stage fusion serve (int8 MRI tower, shared "
+                "towers, memoized min-max)", "int8_3stage_vol_s")
+
         # 3-stage fusion with the int8 MRI backbone fed through the
-        # shared-tower hook (quantize_all_modalities_fusion).
-        from multimodal_alzheimer_tpu.inference.quantize import (
-            quantize_all_modalities_fusion,
-        )
+        # shared-tower hook (quantize_all_modalities_fusion). The fusion
+        # benches stay on the parity (dilated) backbone — --fast is a
+        # single-model performance-mode demo, so they are skipped there.
+        if not args.fast:
+            _bench_int8_fusion()
 
-        fusion, v3, dev3, preprocess3 = _build_fusion()
-        serve3_q, _ = quantize_all_modalities_fusion(
-            fusion, v3, [dev3], preprocess=preprocess3)
-        qerr3 = quantization_error(fusion, v3, serve3_q, dev3,
-                                   preprocess=preprocess3)
-        results["int8_3stage_argmax_agree"] = round(
-            qerr3["argmax_agree"], 4)
-        print(f"int8 3-stage drift vs float: argmax agree "
-              f"{qerr3['argmax_agree']:.4f}, max prob abs err "
-              f"{qerr3['prob_max_abs_err']:.4f}", file=sys.stderr)
-        _chain_and_time(
-            lambda _, bb: serve3_q(bb), None, dev3,
-            "int8 3-stage fusion serve (int8 MRI tower, shared towers, "
-            "memoized min-max)", "int8_3stage_vol_s")
-
-    if args.skip_float:
-        print(json.dumps({"metric": "serving", "batch": b, **results}))
+    if args.skip_float or args.fast:
+        # --fast scopes the run to the single-model performance mode;
+        # the export + parity-fusion surfaces below assume the dilated
+        # (reference-parity) backbone.
+        print(json.dumps({"metric": "serving", "batch": b,
+                          "dilated": not args.fast, **results}))
         return
 
     # --- Exported StableHLO artifact round-trip. ---
