@@ -441,11 +441,120 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
     return serve_fn, qtree
 
 
+def fold_anat_cnn(model, variables: dict, preprocess=None,
+                  dtype=jnp.bfloat16):
+    """BN-folded float serving for an AnatCNN — no quantization.
+
+    Same output contract as ``quantize_anat_cnn`` but the backbone runs
+    the folded conv+bias graph in ``dtype`` instead of int8. Folding is
+    exact algebra; beyond removing the BN-affine passes, the folded
+    graph dodges an XLA emitter pathology in the flax eval graph
+    (layer2_block0's stride-2-adjacent conv is emitted 8x above its
+    roofline there — BASELINE.md serve budget), so this is the fastest
+    *float* serving path.
+    """
+    from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
+
+    depth = model.resnet_depth
+    folded = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype), fold_backbone(variables, depth))
+
+    def _vol(batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
+        x = batch[model.input_key]
+        if x.ndim == 4:
+            x = x[..., None]
+        return x.astype(dtype)
+
+    head = ClassifierHead3D(
+        n_classes=model.n_classes, conv_out=tuple(model.conv_out),
+        filter_size=tuple(model.filter_size),
+        linear_out=tuple(model.linear_out),
+        batchnorm_begin=model.batchnorm_begin,
+        batchnorm_conv=model.batchnorm_conv,
+        batchnorm_dense=model.batchnorm_dense,
+        trailing_relu=model.trailing_relu,
+        bn_torch_stats=model.bn_torch_stats)
+    head_vars = {"params": variables["params"]["head"]}
+    stats = variables.get("batch_stats", {})
+    if "head" in stats:
+        head_vars["batch_stats"] = stats["head"]
+
+    def serve_fn(batch):
+        x = _vol(batch)
+        stem_s2d = model.stem_s2d and x.shape[-1] == 1
+        fmap = folded_backbone_apply(folded, x, depth=depth,
+                                     dilated=model.dilated,
+                                     stem_s2d=stem_s2d)
+        out = head.apply(head_vars, fmap, train=False)
+        return {"logits": out["logits"].astype(jnp.float32),
+                "probs": jax.nn.softmax(
+                    out["logits"].astype(jnp.float32), axis=-1),
+                "embeddings": out["embeddings"]}
+
+    return serve_fn, folded
+
+
 def _quantize_tower(mri_model, tower_vars: dict, pre_batches):
     """Quantize one AnatCNN tower given its variable subtree and already-
     preprocessed calibration batches; returns (serve_mri, qtree)."""
     return quantize_anat_cnn(mri_model, tower_vars, pre_batches,
                              preprocess=None)
+
+
+def _fusion_serve_with_mri(fusion, variables, serve_mri, preprocess):
+    """Serve a fusion with an externally-computed MRI tower (int8 or
+    BN-folded) fed through the ``towers`` hook; the partner towers and
+    fusion heads stay in the model dtype."""
+
+    def serve_fn(batch):
+        pre = dict(preprocess(batch)) if preprocess is not None else batch
+        mri_out = serve_mri(pre)
+        towers = {"mri": {"logits": mri_out["logits"],
+                          "embeddings": mri_out["embeddings"]}}
+        out = fusion.apply(variables, pre, train=False, towers=towers)
+        return {"logits": out["logits"],
+                "probs": jax.nn.softmax(out["logits"], axis=-1),
+                "embeddings": out["embeddings"]}
+
+    return serve_fn
+
+
+def _stage2_mri_vars(fusion, variables):
+    return {"params": variables["params"]["mri_model"],
+            "batch_stats": variables["batch_stats"]["mri_model"]}
+
+
+def _stage3_mri_vars(fusion, variables):
+    return {
+        "params": variables["params"]["model_anat_pet"]["mri_model"],
+        "batch_stats":
+            variables["batch_stats"]["model_anat_pet"]["mri_model"],
+    }
+
+
+def fold_mri_fusion(fusion, variables: dict, preprocess=None,
+                    dtype=jnp.bfloat16):
+    """BN-folded MRI tower for a stage-2 fusion (the float analogue of
+    ``quantize_mri_fusion`` — exact algebra, no calibration needed)."""
+    serve_mri, ftree = fold_anat_cnn(
+        fusion.mri_model, _stage2_mri_vars(fusion, variables),
+        dtype=dtype)
+    return (_fusion_serve_with_mri(fusion, variables, serve_mri,
+                                   preprocess), ftree)
+
+
+def fold_all_modalities_fusion(fusion, variables: dict, preprocess=None,
+                               dtype=jnp.bfloat16):
+    """BN-folded MRI tower for the 3-stage fusion serve (the float
+    analogue of ``quantize_all_modalities_fusion``; requires the frozen
+    shared-tower regime like its int8 counterpart)."""
+    serve_mri, ftree = fold_anat_cnn(
+        fusion.model_anat_pet.mri_model,
+        _stage3_mri_vars(fusion, variables), dtype=dtype)
+    return (_fusion_serve_with_mri(fusion, variables, serve_mri,
+                                   preprocess), ftree)
 
 
 def quantize_mri_fusion(fusion, variables: dict, calib_batches,
@@ -461,23 +570,9 @@ def quantize_mri_fusion(fusion, variables: dict, calib_batches,
     pre_batches = ([dict(preprocess(b)) for b in calib_batches]
                    if preprocess is not None else list(calib_batches))
     serve_mri, qtree = _quantize_tower(
-        fusion.mri_model,
-        {"params": variables["params"]["mri_model"],
-         "batch_stats": variables["batch_stats"]["mri_model"]},
-        pre_batches)
-
-    def serve_fn(batch):
-        pre = dict(preprocess(batch)) if preprocess is not None else batch
-        mri_out = serve_mri(pre)
-        out = fusion.apply(
-            variables, pre, train=False,
-            towers={"mri": {"logits": mri_out["logits"],
-                            "embeddings": mri_out["embeddings"]}})
-        return {"logits": out["logits"],
-                "probs": jax.nn.softmax(out["logits"], axis=-1),
-                "embeddings": out["embeddings"]}
-
-    return serve_fn, qtree
+        fusion.mri_model, _stage2_mri_vars(fusion, variables), pre_batches)
+    return (_fusion_serve_with_mri(fusion, variables, serve_mri,
+                                   preprocess), qtree)
 
 
 def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
@@ -495,27 +590,13 @@ def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
     reference's default), which also guarantees the duplicate MRI copy
     in model_anat_tab holds identical weights.
     """
-    mri_model = fusion.model_anat_pet.mri_model
-    mri_vars = {
-        "params": variables["params"]["model_anat_pet"]["mri_model"],
-        "batch_stats":
-            variables["batch_stats"]["model_anat_pet"]["mri_model"],
-    }
     pre_batches = ([dict(preprocess(b)) for b in calib_batches]
                    if preprocess is not None else list(calib_batches))
-    serve_mri, qtree = _quantize_tower(mri_model, mri_vars, pre_batches)
-
-    def serve_fn(batch):
-        pre = dict(preprocess(batch)) if preprocess is not None else batch
-        mri_out = serve_mri(pre)
-        towers = {"mri": {"logits": mri_out["logits"],
-                          "embeddings": mri_out["embeddings"]}}
-        out = fusion.apply(variables, pre, train=False, towers=towers)
-        return {"logits": out["logits"],
-                "probs": jax.nn.softmax(out["logits"], axis=-1),
-                "embeddings": out["embeddings"]}
-
-    return serve_fn, qtree
+    serve_mri, qtree = _quantize_tower(
+        fusion.model_anat_pet.mri_model,
+        _stage3_mri_vars(fusion, variables), pre_batches)
+    return (_fusion_serve_with_mri(fusion, variables, serve_mri,
+                                   preprocess), qtree)
 
 
 def quantization_error(model, variables, serve_fn, batch,

@@ -115,6 +115,29 @@ def test_serve_contract_and_embedding_tap():
         np.asarray(out["probs"].sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_folded_float_serve():
+    """fold_anat_cnn: the BN-folded float serving path. In f32 it equals
+    the float model (folding is exact algebra); the production bf16
+    variant keeps argmax and the Predictor output contract."""
+    model, variables, batch = _model_and_batch(seed=3)
+
+    serve32, _ = Q.fold_anat_cnn(model, variables, dtype=jnp.float32)
+    ref = model.apply(variables, batch, train=False)
+    out32 = serve32(batch)
+    np.testing.assert_allclose(np.asarray(out32["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=2e-4, atol=2e-5)
+
+    serve16, _ = Q.fold_anat_cnn(model, variables)  # bf16 default
+    out16 = serve16(batch)
+    assert set(out16) == {"logits", "probs", "embeddings"}
+    assert out16["logits"].dtype == jnp.float32
+    assert "backbone_gap" in out16["embeddings"]
+    err = Q.quantization_error(model, variables, serve16, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.05, err
+
+
 def test_int8_pet_resnet_family():
     """PETResNetCNN (the PET Med3D classifier) quantizes through the
     same path — it shares AnatCNN's structure with a different input
@@ -320,6 +343,42 @@ def test_int8_stage2_fusion_serves():
         err = Q.quantization_error(fusion, variables, serve, batch)
         assert err["argmax_agree"] == 1.0, (type(fusion).__name__, err)
         assert err["prob_max_abs_err"] < 0.01, (type(fusion).__name__, err)
+
+
+def test_folded_fusion_serves():
+    """BN-folded MRI tower through the fusion towers hook: in f32 the
+    stage-3 and stage-2 serves equal the float models (exact algebra);
+    bf16 keeps argmax."""
+    fusion, variables, batch = _fusion_and_batch()
+    serve32, _ = Q.fold_all_modalities_fusion(fusion, variables,
+                                              dtype=jnp.float32)
+    err = Q.quantization_error(fusion, variables, serve32, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 1e-3, err
+
+    serve16, _ = Q.fold_all_modalities_fusion(fusion, variables)
+    err16 = Q.quantization_error(fusion, variables, serve16, batch)
+    assert err16["argmax_agree"] == 1.0, err16
+
+    from multimodal_alzheimer_tpu.models.fusion_models.tabular_mri_fusion import (  # noqa: E501
+        TabularMRIFusion,
+    )
+
+    mri_hp = {"n_classes": 3, "resnet_depth": 10}
+    tab_hp = {"n_classes": 3, "hidden": (16, 32)}
+    hp2 = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None}
+    rng = np.random.default_rng(13)
+    batch2 = {
+        "mri": jnp.asarray(rng.normal(size=(2, 16, 16, 16))
+                           .astype(np.float32)),
+        "tabular": jnp.asarray(rng.normal(size=(2, 9)).astype(np.float32)),
+    }
+    f2 = TabularMRIFusion.from_hparams(hp2, mri_hp, tab_hp)
+    v2 = f2.init(jax.random.PRNGKey(0), batch2, train=False)
+    serve2, _ = Q.fold_mri_fusion(f2, v2, dtype=jnp.float32)
+    err2 = Q.quantization_error(f2, v2, serve2, batch2)
+    assert err2["argmax_agree"] == 1.0, err2
+    assert err2["prob_max_abs_err"] < 1e-3, err2
 
 
 def test_external_towers_require_share():

@@ -178,6 +178,19 @@ def main(argv=None):
             "Predictor jitted serve, memoized quantiles (apply-only "
             "min-max)", "predictor_memo_vol_s")
 
+        # BN-folded bf16 serve: exact-algebra folding; also dodges the
+        # flax eval graph's layer2 emitter pathology (BASELINE.md).
+        from multimodal_alzheimer_tpu.inference.quantize import (
+            fold_anat_cnn,
+        )
+
+        serve_f, _ = fold_anat_cnn(model, variables,
+                                   preprocess=preprocess_memo)
+        _chain_and_time(
+            lambda _, bb: serve_f(bb), None, dev_memo,
+            "BN-folded bf16 serve (memoized quantiles)",
+            "folded_vol_s")
+
     # --- 3-stage fusion construction (shared by float + int8 benches) ---
     from multimodal_alzheimer_tpu.models import AllModalitiesFusion
 
@@ -305,6 +318,19 @@ def main(argv=None):
         pred3._raw_fn, pred3.variables, dev3,
         "3-stage fusion serve (PET+MRI+tabular, shared towers, memoized "
         "min-max)", "three_stage_vol_s")
+
+    # Same deployment with the BN-folded bf16 MRI tower through the
+    # external-towers hook (the float analogue of the int8 path).
+    from multimodal_alzheimer_tpu.inference.quantize import (
+        fold_all_modalities_fusion,
+    )
+
+    serve3_f, _ = fold_all_modalities_fusion(fusion, v3,
+                                             preprocess=preprocess3)
+    _chain_and_time(
+        lambda _, bb: serve3_f(bb), None, dev3,
+        "3-stage fusion serve, BN-folded MRI tower",
+        "three_stage_folded_vol_s")
 
     if args.host:
         # Full host->host path incl. padding + H2D + D2H. Tunnel-bound

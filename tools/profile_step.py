@@ -108,7 +108,8 @@ def _build_pet_step(batch_size: int):
     return step, state, batch, jax.random.PRNGKey(1)
 
 
-def _build_serve_step(batch_size: int, int8: bool, plain_stem=False):
+def _build_serve_step(batch_size: int, int8: bool, plain_stem=False,
+                      folded=False):
     """Flagship serving step (memoized min-max preprocess), bf16 or int8
     — the tools/bench_serving.py configs, profiled region-by-region."""
     import numpy as np
@@ -161,6 +162,18 @@ def _build_serve_step(batch_size: int, int8: bool, plain_stem=False):
 
         def core(state, b, rng):
             out = serve_q(b)
+            return state, {"loss": out["probs"]
+                           .astype(jnp.float32).sum()}
+    elif folded:
+        from multimodal_alzheimer_tpu.inference.quantize import (
+            fold_anat_cnn,
+        )
+
+        serve_f, _ = fold_anat_cnn(model, variables,
+                                   preprocess=preprocess)
+
+        def core(state, b, rng):
+            out = serve_f(b)
             return state, {"loss": out["probs"]
                            .astype(jnp.float32).sum()}
     else:
@@ -240,6 +253,9 @@ def main(argv=None):
                          "bf16 / PTQ-int8 flagship inference step")
     ap.add_argument("--dump-hlo", action="store_true")
     ap.add_argument("--keep-trace", action="store_true")
+    ap.add_argument("--folded", action="store_true",
+                    help="serve only: BN-folded bf16 backbone instead of "
+                         "the flax eval graph (emitter experiment)")
     ap.add_argument("--plain-stem", action="store_true",
                     help="serve_int8 only: force the plain stride-2 7^3 "
                          "stem instead of the s2d layout")
@@ -255,7 +271,7 @@ def main(argv=None):
     elif args.config in ("serve", "serve_int8"):
         step, state, batch, rng = _build_serve_step(
             args.batch, int8=args.config == "serve_int8",
-            plain_stem=args.plain_stem)
+            plain_stem=args.plain_stem, folded=args.folded)
     else:
         step, state, batch, rng = bench.build_step(args.batch)
     lowered = step.lower(state, batch, rng)
