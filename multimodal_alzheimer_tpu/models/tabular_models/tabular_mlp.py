@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -56,7 +57,17 @@ class TabularMLP(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False) -> dict:
+    def __call__(self, batch: dict, train: bool = False,
+                 dropout_rate=None) -> dict:
+        """Forward pass.
+
+        ``dropout_rate`` (optional, traced) overrides the static
+        ``dropout_p`` attribute — same masking semantics as ``nn.Dropout``
+        (bernoulli keep mask, survivors scaled by 1/keep) but with the rate
+        as a runtime value, so ``jax.vmap`` can train K trials with K
+        different dropout rates in one program (train/vmap_hpo.py). The
+        default ``None`` keeps the static ``nn.Dropout`` path bit-for-bit.
+        """
         if self.embedding_key and self.embedding_key in batch:
             h = batch[self.embedding_key].astype(self.dtype)
             embeddings = {"decoder": h}
@@ -74,7 +85,13 @@ class TabularMLP(nn.Module):
         for i, width in enumerate(self.hidden):
             h = nn.Dense(width, dtype=self.dtype, name=f"dense_{i}")(h)
             h = nn.relu(h)
-            if self.dropout_p:
+            if dropout_rate is not None:
+                if train:
+                    keep = 1.0 - jnp.asarray(dropout_rate, jnp.float32)
+                    rng = self.make_rng("dropout")
+                    mask = jax.random.bernoulli(rng, p=keep, shape=h.shape)
+                    h = jnp.where(mask, h / keep.astype(self.dtype), 0.0)
+            elif self.dropout_p:
                 h = nn.Dropout(rate=self.dropout_p, name=f"dropout_{i}")(
                     h, deterministic=not train)
         # 'decoder' tap: same role (and default width, 1024) as the

@@ -73,8 +73,58 @@ def _objective(trial):
     return train(sample_hparams(trial), EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 100, timeout: float = 86400):
+def _full_arrays(dataset):
+    """Whole-split device-ready arrays for the vectorized HPO path."""
+    import numpy as np
+
+    labels = dataset.ds["label"].map(dataset.label_mapping) \
+        .to_numpy(np.int32)
+    return {"tabular": tabular_matrix(dataset.ds), "label": labels}
+
+
+def optuna_optimization(n_trials: int = 100, timeout: float = 86400,
+                        parallel: int = 0):
+    """HPO entry point (reference train_pet_cnn.py:208-216 template).
+
+    ``parallel=K`` switches to the vectorized searcher
+    (train/vmap_hpo.py): TPE asks K configs per round, same-architecture
+    configs train simultaneously under one ``jax.vmap``-ed program. The
+    objective stays the last-val-loss-at-early-stop the sequential path
+    returns; the winning config should be refit via ``train()`` when a
+    checkpoint is needed (the parallel path skips checkpointing).
+    """
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        from multimodal_alzheimer_tpu.train import vmap_hpo
+
+        base = {"n_classes": 3}
+        trainset, valset = build_datasets(base, ["tabular"])
+        attach_class_weights(base, trainset)
+        mean, std = compute_feature_stats(tabular_matrix(trainset.ds))
+        train_data = _full_arrays(trainset)
+        val_data = _full_arrays(valset)
+
+        def signature(hparams):
+            return (int(hparams["batch_size"]), tuple(hparams["hidden"]))
+
+        def batch_objective(signature, rows):
+            batch_size, hidden = signature
+            model = TabularMLP(n_classes=3, hidden=hidden,
+                               feature_mean=tuple(mean),
+                               feature_std=tuple(std))
+            hp = vmap_hpo.stack_trial_hparams(rows, pad_to=parallel)
+            values, _ = vmap_hpo.run_parallel_trials(
+                model, hp, train_data, val_data,
+                batch_size=batch_size,
+                max_epochs=int(rows[0]["max_epochs"]),
+                patience=int(rows[0]["early_stopping_patience"]),
+                class_weights=base["loss_class_weights"], seed=SEED)
+            return values[:len(rows)]
+
+        vmap_hpo.optimize_batched(
+            study, sample_hparams, batch_objective, n_trials=n_trials,
+            parallel=parallel, signature_fn=signature, timeout=timeout)
+        return study
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

@@ -57,19 +57,33 @@ class RandomStudy:
         self.direction = direction
         self._rng = random.Random(seed)
         self.trials: list[tuple[float, dict]] = []
+        self._asked = 0
 
     def _make_trial(self, number: int):
         return RandomTrial(self._rng, number)
 
+    def ask(self):
+        """Propose a new trial (optuna ask/tell API). Multiple asks before
+        any tell sample independently from the same history — the same
+        semantics optuna gives concurrent workers, which is what the
+        batched/vmapped HPO driver (train/vmap_hpo.py) relies on."""
+        trial = self._make_trial(self._asked)
+        self._asked += 1
+        return trial
+
+    def tell(self, trial, value: float) -> None:
+        """Record a finished trial's objective value."""
+        self.trials.append((float(value), dict(trial.params)))
+
     def optimize(self, objective: Callable, n_trials: int = 300,
                  timeout: Optional[float] = None) -> None:
         start = time.time()
-        for i in range(len(self.trials), len(self.trials) + n_trials):
+        for _ in range(n_trials):
             if timeout is not None and time.time() - start > timeout:
                 break
-            trial = self._make_trial(i)
+            trial = self.ask()
             value = objective(trial)
-            self.trials.append((value, dict(trial.params)))
+            self.tell(trial, value)
 
     @property
     def best_trial(self):

@@ -1,0 +1,311 @@
+"""Vectorized hyperparameter search: K trials per jitted step via vmap.
+
+The reference's HPO is strictly sequential: optuna's TPE proposes one
+config, one Lightning fit runs to completion, repeat 300 times
+(reference: train_pet_cnn.py:208-216). For the small models that is a
+terrible fit for a TPU — one tabular-MLP trial's (B,256)x(256,1024)
+matmuls leave the MXU idle and the step time is pure dispatch latency.
+
+This module runs K trials *simultaneously* as one XLA program:
+``jax.vmap`` over a stacked-trial axis turns K tiny training steps into
+K-fold-bigger matmuls (the shape regime the MXU wants), and a host-side
+batched-TPE driver keeps proposing/collecting K configs at a time.
+
+Design:
+
+* **Traced per-trial hparams** — lr, torch-style l2, dropout rate, focal
+  gamma / loss selector, init seed — are stacked into (K,) arrays and
+  vmapped. The loss and optimizer are written with these as runtime
+  values: l2 is added to the gradients *before* the Adam moments and the
+  update is scaled by ``-lr``, exactly ``optim.adam_group``'s chain
+  (torch ``Adam(lr, weight_decay)`` semantics).
+* **Static per-bucket hparams** — architecture (hidden widths), batch
+  size, epoch budget — define a *bucket signature*. ``optimize_batched``
+  groups each ask-round's proposals by signature and pads every bucket to
+  a fixed vmap width, so XLA compiles one program per signature, ever.
+* **Per-trial early stopping** — an ``active`` mask freezes a stopped
+  trial's whole carry (params, opt state, batch stats) with ``jnp.where``;
+  the stop rule replays ``train/optim.py:EarlyStopping`` exactly (stop
+  after ``patience`` consecutive non-improving epochs, min_delta 0).
+* **Objective parity** — the per-trial validation loss is the Lightning
+  unweighted mean over val batches (loop.py:262-265), each batch scored
+  with the reference's weighted-CE / focal semantics
+  (losses/classification.py), and the returned value is the val loss at
+  each trial's stopping epoch — the same number the sequential
+  ``Trainer.fit`` hands optuna.
+
+Divergences from the sequential path (inherent to batching, documented):
+trials in one bucket share the per-epoch shuffle order (each sequential
+trial would draw its own), and the train epoch drops the ragged tail
+batch (static shapes under ``lax.scan``). Both are statistically neutral
+for a *search*; the winning config is refit with the normal ``train()``
+entry point for checkpoints.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+TRACED_KEYS = ("lr", "l2_reg", "dropout_p", "fl_gamma")
+
+
+def stack_trial_hparams(rows: Sequence[dict], pad_to: Optional[int] = None,
+                        seed_offset: int = 0) -> dict:
+    """Stack per-trial hparam dicts into (K,) traced arrays.
+
+    ``fl_gamma`` None/0 selects weighted CE (``use_focal`` 0); truthy
+    selects the reference's FocalLoss with that gamma — mirroring
+    ``losses.make_criterion``. ``pad_to`` repeats the last row so every
+    bucket compiles at one fixed width; padded rows are trained but their
+    results are discarded by the caller (slice ``[:len(rows)]``).
+    """
+    rows = list(rows)
+    n_real = len(rows)
+    if pad_to is not None:
+        if n_real > pad_to:
+            raise ValueError(f"{n_real} rows > pad_to={pad_to}")
+        rows = rows + [rows[-1]] * (pad_to - n_real)
+
+    def farr(key):
+        return jnp.asarray([float(r.get(key) or 0.0) for r in rows],
+                           jnp.float32)
+
+    return {
+        "lr": farr("lr"),
+        "l2_reg": farr("l2_reg"),
+        "dropout_p": farr("dropout_p"),
+        "fl_gamma": farr("fl_gamma"),
+        "use_focal": jnp.asarray(
+            [1.0 if r.get("fl_gamma") else 0.0 for r in rows], jnp.float32),
+        "trial_seed": jnp.asarray(
+            [int(r.get("trial_seed", seed_offset + i))
+             for i, r in enumerate(rows)], jnp.int32),
+    }
+
+
+def trial_criterion(logits, labels, mask, hp, class_weights):
+    """Per-trial loss with traced selector/gamma.
+
+    ``use_focal`` 0: torch weighted CE — sum(w[y]*nll)/sum(w[y])
+    (losses/classification.py:37-59). 1: reference FocalLoss,
+    mean((1-pt)^gamma * nll) with pt detached
+    (losses/classification.py:62-83; the reference passes no alpha).
+    ``mask`` zeroes padded samples; gamma only ever multiplies a
+    stop-gradient factor so a traced value costs nothing.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    w = jnp.asarray(class_weights, jnp.float32)[labels] * mask
+    wce = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+    pt = jax.lax.stop_gradient(jnp.exp(-nll))
+    focal = (jnp.sum((1.0 - pt) ** hp["fl_gamma"] * nll * mask)
+             / jnp.maximum(jnp.sum(mask), 1.0))
+    return jnp.where(hp["use_focal"] > 0, focal, wce)
+
+
+def _default_apply(model, variables, batch, hp, rng, train):
+    """Apply hook: forwards the traced dropout rate to models that take it
+    (TabularMLP's ``dropout_rate`` call arg). Override ``apply_fn`` for
+    model families with different traced knobs."""
+    if train:
+        return model.apply(variables, batch, train=True,
+                           rngs={"dropout": rng},
+                           mutable=["batch_stats"],
+                           dropout_rate=hp["dropout_p"])
+    return model.apply(variables, batch, train=False), {}
+
+
+def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
+                        batch_size: int, max_epochs: int, patience: int,
+                        class_weights, seed: int = 5,
+                        apply_fn: Callable = _default_apply,
+                        return_state: bool = False):
+    """Train K = hp['lr'].shape[0] trials of ``model`` in one vmapped loop.
+
+    ``train_data``/``val_data``: dicts of stacked host/device arrays with a
+    leading sample axis, including ``'label'`` (int). All trials see the
+    same data (HPO over one split) but have independent init seeds,
+    dropout streams, and traced hparams.
+
+    Returns ``(last_val_losses (K,), info)`` where ``last_val_losses[i]``
+    is trial i's val loss at its early-stopping epoch, and ``info`` has
+    ``val_history`` (epochs, K), ``stopped_epoch`` (K,), and optionally
+    the final stacked carry (``return_state``).
+    """
+    train_data = {k: jnp.asarray(v) for k, v in train_data.items()}
+    val_data = {k: jnp.asarray(v) for k, v in val_data.items()}
+    n_train = int(train_data["label"].shape[0])
+    n_val = int(val_data["label"].shape[0])
+    b = int(min(batch_size, n_train))
+    n_batches = n_train // b
+    k_trials = int(hp["lr"].shape[0])
+    class_weights = jnp.asarray(class_weights, jnp.float32)
+
+    # Val batches: pad with wrapped indices, mask the pads; loss per batch
+    # on real samples only, epoch val loss = unweighted mean over batches
+    # (Lightning parity, loop.py:262-265).
+    n_vb = max(1, math.ceil(n_val / b))
+    val_idx = jnp.asarray(np.arange(n_vb * b) % n_val,
+                          jnp.int32).reshape(n_vb, b)
+    val_mask = jnp.asarray(
+        (np.arange(n_vb * b) < n_val).astype(np.float32)).reshape(n_vb, b)
+
+    example = {k: v[:b] for k, v in train_data.items()}
+    root = jax.random.PRNGKey(seed)
+    trial_keys = jax.vmap(lambda s: jax.random.fold_in(root, s))(
+        hp["trial_seed"])
+
+    def init_one(key):
+        return model.init(key, example, train=False)
+
+    variables = jax.jit(jax.vmap(init_one))(trial_keys)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = jax.jit(jax.vmap(adam.init))(params)
+    carry0 = (params, batch_stats, opt_state)
+
+    def train_epoch_one(carry, active, hp_row, rng, perm):
+        def step(c, xs):
+            params, stats, opt = c
+            idx, step_i = xs
+            batch = {k: v[idx] for k, v in train_data.items()}
+            srng = jax.random.fold_in(rng, step_i)
+
+            def loss_fn(p):
+                variables = {"params": p}
+                if stats:
+                    variables["batch_stats"] = stats
+                out, mutated = apply_fn(model, variables, batch, hp_row,
+                                        srng, True)
+                loss = trial_criterion(
+                    out["logits"], batch["label"],
+                    jnp.ones(batch["label"].shape[0], jnp.float32),
+                    hp_row, class_weights)
+                return loss, mutated.get("batch_stats", stats)
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            # torch Adam weight_decay: L2 into the grad BEFORE the moments
+            # (optim.py:28-35 ordering), lr as a traced multiplier.
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g + hp_row["l2_reg"] * p, grads, params)
+            updates, new_opt = adam.update(grads, opt, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p - hp_row["lr"] * u, params, updates)
+            new_c = (new_params, new_stats, new_opt)
+            # Stopped trials freeze whole: params, BN stats, Adam moments.
+            new_c = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(active > 0, n, o), new_c, c)
+            return new_c, loss
+
+        steps = jnp.arange(perm.shape[0], dtype=jnp.int32)
+        carry, losses = jax.lax.scan(step, carry, (perm, steps))
+        return carry, losses.mean()
+
+    def eval_one(carry, hp_row):
+        params, stats, _ = carry
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+
+        def one_batch(_, xs):
+            idx, mask = xs
+            batch = {k: v[idx] for k, v in val_data.items()}
+            out, _ = apply_fn(model, variables, batch, hp_row, root, False)
+            return None, trial_criterion(out["logits"], batch["label"],
+                                         mask, hp_row, class_weights)
+
+        _, losses = jax.lax.scan(one_batch, None, (val_idx, val_mask))
+        return losses.mean()
+
+    epoch_fn = jax.jit(jax.vmap(train_epoch_one,
+                                in_axes=(0, 0, 0, 0, None)),
+                       donate_argnums=(0,))
+    eval_fn = jax.jit(jax.vmap(eval_one))
+
+    shuffle_rng = np.random.default_rng(seed)
+    best = np.full(k_trials, np.inf)
+    wait = np.zeros(k_trials, np.int64)
+    active = np.ones(k_trials, bool)
+    last_val = np.full(k_trials, np.inf)
+    stopped_epoch = np.full(k_trials, max_epochs - 1, np.int64)
+    history = []
+    carry = carry0
+    for epoch in range(max_epochs):
+        perm = jnp.asarray(
+            shuffle_rng.permutation(n_train)[:n_batches * b].astype(np.int32)
+            .reshape(n_batches, b))
+        epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(
+            trial_keys)
+        carry, _ = epoch_fn(carry, jnp.asarray(active, jnp.float32),
+                            hp, epoch_keys, perm)
+        val = np.asarray(eval_fn(carry, hp), np.float64)
+        history.append(val)
+        last_val = np.where(active, val, last_val)
+        stopped_epoch = np.where(active, epoch, stopped_epoch)
+        # EarlyStopping replay (optim.py:130-148): reset on strict
+        # improvement, stop after `patience` consecutive non-improvements.
+        improved = val < best
+        best = np.where(active & improved, val, best)
+        wait = np.where(active, np.where(improved, 0, wait + 1), wait)
+        active = active & (wait < patience)
+        if not active.any():
+            break
+
+    info = {"val_history": np.stack(history),
+            "stopped_epoch": stopped_epoch}
+    if return_state:
+        info["carry"] = carry
+    return last_val, info
+
+
+def optimize_batched(study, sample_hparams: Callable,
+                     batch_objective: Callable, *, n_trials: int,
+                     parallel: int, signature_fn: Callable,
+                     timeout: Optional[float] = None):
+    """Drive a study with K-at-a-time proposals and vectorized evaluation.
+
+    Each round asks ``parallel`` trials (optuna concurrent-worker
+    semantics: all sampled from the current history), buckets them by
+    ``signature_fn(hparams)`` (the static-shape signature), and hands each
+    bucket to ``batch_objective(signature, [hparams,...]) -> values``.
+    Exceptions from a bucket score all its trials ``inf`` when they look
+    like OOM (hpo.oom_guard semantics), else propagate.
+    """
+    start = time.time()
+    done = 0
+    while done < n_trials:
+        if timeout is not None and time.time() - start > timeout:
+            break
+        k = min(parallel, n_trials - done)
+        asked = []
+        for _ in range(k):
+            trial = study.ask()
+            asked.append((trial, sample_hparams(trial)))
+        buckets: dict = {}
+        for trial, hparams in asked:
+            buckets.setdefault(signature_fn(hparams), []).append(
+                (trial, hparams))
+        for signature, items in buckets.items():
+            try:
+                values = batch_objective(signature,
+                                         [hp for _, hp in items])
+            except Exception as e:
+                if ("RESOURCE_EXHAUSTED" in str(e)
+                        or "Out of memory" in str(e)):
+                    print("Aborting run, not enough memory!")
+                    values = [math.inf] * len(items)
+                else:
+                    raise
+            for (trial, _), value in zip(items, values):
+                study.tell(trial, float(value))
+        done += k
+    return study
