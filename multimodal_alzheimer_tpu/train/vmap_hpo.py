@@ -126,13 +126,21 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
                         batch_size: int, max_epochs: int, patience: int,
                         class_weights, seed: int = 5,
                         apply_fn: Callable = _default_apply,
-                        return_state: bool = False):
+                        return_state: bool = False, mesh=None):
     """Train K = hp['lr'].shape[0] trials of ``model`` in one vmapped loop.
 
     ``train_data``/``val_data``: dicts of stacked host/device arrays with a
     leading sample axis, including ``'label'`` (int). All trials see the
     same data (HPO over one split) but have independent init seeds,
     dropout streams, and traced hparams.
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — *trial parallelism*:
+    the stacked trial axis is sharded over the mesh's first axis (K must
+    divide by its size; use ``stack_trial_hparams(pad_to=...)``). Each
+    trial lives whole on one device and the data is replicated, so GSPMD
+    partitions the program with zero collectives — HPO throughput scales
+    linearly with chips on top of the vmap win. (The reference's
+    single-GPU sequential search has no analogue; SURVEY.md §2.6.)
 
     Returns ``(last_val_losses (K,), info)`` where ``last_val_losses[i]``
     is trial i's val loss at its early-stopping epoch, and ``info`` has
@@ -171,6 +179,26 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     opt_state = jax.jit(jax.vmap(adam.init))(params)
     carry0 = (params, batch_stats, opt_state)
+
+    trial_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        if k_trials % mesh.devices.size:
+            raise ValueError(
+                f"K={k_trials} trials must divide the {mesh.devices.size}-"
+                f"device mesh (pad with stack_trial_hparams(pad_to=...))")
+        trial_sharding = NamedSharding(mesh, PartitionSpec(axis))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        # trial axis sharded; data/batch indices replicated
+        carry0 = jax.device_put(carry0, trial_sharding)
+        hp = jax.device_put(hp, trial_sharding)
+        trial_keys = jax.device_put(trial_keys, trial_sharding)
+        train_data = jax.device_put(train_data, replicated)
+        val_data = jax.device_put(val_data, replicated)
+        val_idx = jax.device_put(val_idx, replicated)
+        val_mask = jax.device_put(val_mask, replicated)
 
     def train_epoch_one(carry, active, hp_row, rng, perm):
         def step(c, xs):
@@ -243,10 +271,13 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
         perm = jnp.asarray(
             shuffle_rng.permutation(n_train)[:n_batches * b].astype(np.int32)
             .reshape(n_batches, b))
+        active_dev = jnp.asarray(active, jnp.float32)
+        if trial_sharding is not None:
+            perm = jax.device_put(perm, replicated)
+            active_dev = jax.device_put(active_dev, trial_sharding)
         epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(
             trial_keys)
-        carry, _ = epoch_fn(carry, jnp.asarray(active, jnp.float32),
-                            hp, epoch_keys, perm)
+        carry, _ = epoch_fn(carry, active_dev, hp, epoch_keys, perm)
         val = np.asarray(eval_fn(carry, hp), np.float64)
         history.append(val)
         last_val = np.where(active, val, last_val)

@@ -231,6 +231,33 @@ def test_tabular_parallel_end_to_end_learns():
     np.testing.assert_allclose(hist[:, 2], hist[0, 2], rtol=1e-3)
 
 
+def test_mesh_sharded_trials_match_single_device():
+    """Trial parallelism: sharding the stacked-trial axis over an 8-device
+    mesh must reproduce the unsharded run — each trial lives whole on one
+    device, so GSPMD needs zero collectives and the math is unchanged."""
+    from multimodal_alzheimer_tpu.parallel import make_mesh
+
+    rows = [dict(r, trial_seed=100 + i)  # 8 rows for the 8-device mesh
+            for i, r in enumerate(_rows() + _rows() + _rows()[:2])]
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    _, info_sharded = _run(rows, mesh=mesh)
+    _, info_plain = _run(rows)
+    np.testing.assert_allclose(info_sharded["val_history"],
+                               info_plain["val_history"],
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_mesh_rejects_indivisible_width():
+    from multimodal_alzheimer_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    with pytest.raises(ValueError, match="divide"):
+        _run(_rows(), mesh=make_mesh(8))
+
+
 def test_train_tabular_entrypoint_parallel(tmp_path):
     """optuna_optimization(parallel=K) end-to-end on the synthetic split:
     buckets by (batch_size, hidden), runs the vmapped trainer, tells every
