@@ -1,0 +1,149 @@
+"""Dynamic-batching serving front-end (the online-inference layer).
+
+The reference has no serving story at all — evaluation happens offline
+through Lightning ``trainer.test`` (reference: pkg/testing/test_*.py).
+``inference.predictor.Predictor`` gives this repo an offline batch
+surface; this module adds the *online* half: concurrent clients submit
+single samples and a collator thread assembles them into fixed-size
+device batches, so the TPU always sees its compiled batch shape (one XLA
+program, MXU-efficient batch) while clients keep a simple
+one-sample-in/one-result-out future API.
+
+Semantics:
+
+* FIFO: requests are batched in arrival order.
+* A batch launches when ``predictor.batch_size`` requests are waiting or
+  the oldest waiting request has aged ``max_wait_s`` — the standard
+  throughput/latency knob.
+* Results are exactly the single-sample computation: the Predictor pads
+  ragged tails and strips padding rows before returning, so batch
+  composition never changes a client's numbers.
+* A device/model failure is delivered to every future in the affected
+  batch; the server keeps serving subsequent batches.
+* Submissions are shape/dtype-validated against the first accepted
+  sample, so one malformed request fails fast at ``submit`` instead of
+  poisoning a whole batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional
+
+import numpy as np
+
+
+class BatchingServer:
+    def __init__(self, predictor, max_wait_s: float = 0.005,
+                 name: str = "serve"):
+        self.predictor = predictor
+        self.max_wait_s = float(max_wait_s)
+        self._q: queue.Queue = queue.Queue()
+        self._spec: Optional[dict] = None  # key -> (shape, dtype)
+        self._spec_lock = threading.Lock()
+        self._closed = False
+        self.batches_served = 0
+        self.samples_served = 0
+        self._worker = threading.Thread(target=self._loop, name=name,
+                                        daemon=True)
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------
+    def submit(self, sample: dict) -> Future:
+        """Enqueue one sample (dict of arrays WITHOUT a batch axis).
+
+        Returns a Future resolving to ``{'logits': (C,), 'probs': (C,),
+        'embeddings': {tap: (...)}}`` for this sample alone.
+        """
+        if self._closed:
+            raise RuntimeError("server is closed")
+        sample = {k: np.asarray(v) for k, v in sample.items()}
+        self._validate(sample)
+        future: Future = Future()
+        self._q.put((sample, future))
+        return future
+
+    def _validate(self, sample: dict) -> None:
+        spec = {k: (v.shape, v.dtype) for k, v in sample.items()}
+        with self._spec_lock:
+            if self._spec is None:
+                self._spec = spec
+                return
+            if set(spec) != set(self._spec):
+                raise ValueError(
+                    f"sample keys {sorted(spec)} != served keys "
+                    f"{sorted(self._spec)}")
+            for k, (shape, dtype) in spec.items():
+                want_shape, want_dtype = self._spec[k]
+                if shape != want_shape or dtype != want_dtype:
+                    raise ValueError(
+                        f"sample['{k}'] is {shape}/{dtype}, server is "
+                        f"committed to {want_shape}/{want_dtype}")
+
+    def close(self, drain: bool = True) -> None:
+        """Stop accepting work; by default serve what's already queued."""
+        self._closed = True
+        if not drain:
+            try:
+                while True:
+                    _, future = self._q.get_nowait()
+                    future.set_exception(RuntimeError("server closed"))
+            except queue.Empty:
+                pass
+        self._q.put(None)  # sentinel wakes the worker
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- server side ---------------------------------------------------
+    def _loop(self) -> None:
+        batch_size = self.predictor.batch_size
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            pending = [item]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(pending) < batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._serve(pending)
+                    return
+                pending.append(nxt)
+            self._serve(pending)
+
+    def _serve(self, pending: list) -> None:
+        if not pending:
+            return
+        samples = [s for s, _ in pending]
+        futures = [f for _, f in pending]
+        try:
+            batch = {k: np.stack([s[k] for s in samples])
+                     for k in samples[0]}
+            out = self.predictor.predict_batch(batch)
+        except Exception as e:  # model/device failure: fail this batch only
+            for future in futures:
+                future.set_exception(e)
+            return
+        self.batches_served += 1
+        self.samples_served += len(futures)
+        for i, future in enumerate(futures):
+            future.set_result({
+                "logits": out["logits"][i],
+                "probs": out["probs"][i],
+                "embeddings": {k: v[i]
+                               for k, v in out["embeddings"].items()},
+            })
