@@ -1,0 +1,151 @@
+"""BatchingServer: dynamic batching, parity, validation, failure isolation.
+
+The reference has no online-serving layer (evaluation only, via Lightning
+trainer.test — reference: pkg/testing/test_*.py); BatchingServer is the
+beyond-parity online half of the serving stack, so the tests pin its
+contract: batch composition never changes a client's numbers, malformed
+requests fail at submit, and a failed batch doesn't kill the server.
+"""
+
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_alzheimer_tpu.inference.predictor import Predictor
+from multimodal_alzheimer_tpu.inference.server import BatchingServer
+from multimodal_alzheimer_tpu.models import TabularMLP
+
+
+def _predictor(batch_size=8):
+    model = TabularMLP.from_hparams({"n_classes": 3, "hidden": (16, 32)})
+    batch = {"tabular": jnp.zeros((2, 9))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return Predictor(model, variables, batch_size=batch_size)
+
+
+def test_results_match_direct_prediction():
+    pred = _predictor()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(13, 9)).astype(np.float32)  # ragged vs batch 8
+    direct = pred.predict_batch({"tabular": x[:8]})
+    with BatchingServer(pred, max_wait_s=0.05) as server:
+        futures = [server.submit({"tabular": x[i]}) for i in range(13)]
+        results = [f.result(timeout=60) for f in futures]
+    ref = np.concatenate(
+        [direct["logits"], pred.predict_batch({"tabular": x[8:]})["logits"]])
+    got = np.stack([r["logits"] for r in results])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    for r in results:
+        assert r["probs"].shape == (3,)
+        assert r["embeddings"]["decoder"].shape == (32,)
+
+
+def test_full_batch_serves_as_one_launch():
+    pred = _predictor(batch_size=4)
+    rng = np.random.default_rng(1)
+    server = BatchingServer(pred, max_wait_s=2.0)
+    futures = [server.submit(
+        {"tabular": rng.normal(size=(9,)).astype(np.float32)})
+        for _ in range(8)]
+    for f in futures:
+        f.result(timeout=60)
+    server.close()
+    assert server.samples_served == 8
+    assert server.batches_served == 2  # two full batches, no partials
+
+
+def test_timeout_flushes_partial_batch():
+    pred = _predictor(batch_size=8)
+    with BatchingServer(pred, max_wait_s=0.01) as server:
+        f = server.submit({"tabular": np.zeros(9, np.float32)})
+        out = f.result(timeout=60)
+    assert out["logits"].shape == (3,)
+    assert server.batches_served == 1
+
+
+def test_concurrent_clients():
+    pred = _predictor(batch_size=8)
+    rng = np.random.default_rng(2)
+    xs = rng.normal(size=(32, 9)).astype(np.float32)
+    ref = np.concatenate([
+        pred.predict_batch({"tabular": xs[i:i + 8]})["logits"]
+        for i in range(0, 32, 8)])
+    got = np.zeros_like(ref)
+    errors = []
+    with BatchingServer(pred, max_wait_s=0.02) as server:
+        def client(i):
+            try:
+                r = server.submit({"tabular": xs[i]}).result(timeout=60)
+                got[i] = r["logits"]
+            except Exception as e:  # surfaced below
+                errors.append(e)
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(32)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errors
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_submit_validates_shape_and_keys():
+    pred = _predictor()
+    with BatchingServer(pred, max_wait_s=0.01) as server:
+        server.submit({"tabular": np.zeros(9, np.float32)}).result(timeout=60)
+        try:
+            server.submit({"tabular": np.zeros(7, np.float32)})
+            raise AssertionError("shape mismatch accepted")
+        except ValueError:
+            pass
+        try:
+            server.submit({"pet": np.zeros(9, np.float32)})
+            raise AssertionError("key mismatch accepted")
+        except ValueError:
+            pass
+
+
+def test_batch_failure_is_isolated():
+    pred = _predictor()
+    calls = {"n": 0}
+    real = pred.predict_batch
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return real(batch)
+
+    pred.predict_batch = flaky
+    server = BatchingServer(pred, max_wait_s=0.01)
+    bad = server.submit({"tabular": np.zeros(9, np.float32)})
+    try:
+        bad.result(timeout=60)
+        raise AssertionError("expected injected failure")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    good = server.submit({"tabular": np.zeros(9, np.float32)})
+    assert good.result(timeout=60)["logits"].shape == (3,)
+    server.close()
+    assert server.batches_served == 1  # failed batch not counted
+
+
+def test_close_without_drain_rejects_queued():
+    pred = _predictor(batch_size=8)
+    server = BatchingServer(pred, max_wait_s=30.0)
+    # First submit is grabbed by the worker (it waits on the deadline);
+    # close(drain=False) must still deliver an answer or error to all.
+    futures = [server.submit({"tabular": np.zeros(9, np.float32)})
+               for _ in range(3)]
+    server.close(drain=False)
+    done = [f for f in futures if f.done()]
+    assert len(done) == 3
+    for f in futures:
+        exc = f.exception()
+        if exc is not None:
+            assert "closed" in str(exc)
+        else:
+            assert f.result()["logits"].shape == (3,)
