@@ -93,8 +93,28 @@ def _objective(trial):
     return train(hparams, EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """HPO entry point. ``parallel=K`` vectorizes frozen proposals through
+    the shared-tower trainer (train/fusion_hpo.py): one tower forward per
+    step feeds K vmapped Dense heads, so the stage-1 ResNet cost — all of
+    the FLOPs — is amortized K ways. Unfrozen proposals (towers training
+    at lr_pretrained) keep the sequential path inside the same study."""
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        from multimodal_alzheimer_tpu.train import fusion_hpo
+        from multimodal_alzheimer_tpu.utils.path_config import (
+            load_path_config,
+        )
+
+        paths = load_path_config()
+        return fusion_hpo.optimize_stage2_anat_pet(
+            study, sample_hparams,
+            hpo.oom_guard(lambda hp: train(hp, EXPERIMENT_NAME,
+                                           EXPERIMENT_VERSION)),
+            n_trials=n_trials, parallel=parallel,
+            path_pet=str(paths["pet_cnn_3_class"]),
+            path_mri=str(paths["mri_cnn_3_class"]), timeout=timeout)
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

@@ -126,7 +126,10 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
                         batch_size: int, max_epochs: int, patience: int,
                         class_weights, seed: int = 5,
                         apply_fn: Callable = _default_apply,
-                        return_state: bool = False, mesh=None):
+                        return_state: bool = False, mesh=None,
+                        shared_fn: Optional[Callable] = None,
+                        shared_carry0=None,
+                        init_fn: Optional[Callable] = None):
     """Train K = hp['lr'].shape[0] trials of ``model`` in one vmapped loop.
 
     ``train_data``/``val_data``: dicts of stacked host/device arrays with a
@@ -141,6 +144,19 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     partitions the program with zero collectives — HPO throughput scales
     linearly with chips on top of the vmap win. (The reference's
     single-GPU sequential search has no analogue; SURVEY.md §2.6.)
+
+    ``shared_fn``: optional *trial-invariant* computation hoisted out of
+    the vmap — ``shared_fn(shared_carry, batch, train) -> (out, carry)``
+    runs ONCE per step (unbatched over trials) and its output is handed
+    to ``apply_fn`` as a 7th argument. This is the frozen-fusion HPO fast
+    path: the frozen stage-1/2 towers' forward depends only on the batch
+    (never on a trial's head params; the reference's fusion regimes run
+    towers dropout-free — all_modalities_fusion.py:50), so K head trials
+    share one tower forward per step. The carry holds whatever evolves
+    input-only (tower BN batch_stats); in eval the carry is read, not
+    advanced. Exactness vs per-trial towers: tower BN stats update from
+    inputs alone, so every trial's private stats tree would stay
+    identical anyway (tests/test_vmap_hpo.py pins this).
 
     Returns ``(last_val_losses (K,), info)`` where ``last_val_losses[i]``
     is trial i's val loss at its early-stopping epoch, and ``info`` has
@@ -170,7 +186,19 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     trial_keys = jax.vmap(lambda s: jax.random.fold_in(root, s))(
         hp["trial_seed"])
 
+    # ``init_fn(model, key, example, shared_example) -> variables`` lets the
+    # shared-tower path init ONLY the head (e.g. flax models whose tower
+    # submodules are skipped when a ``towers=`` kwarg is supplied), so the
+    # per-trial carry never stacks K copies of frozen tower params.
+    shared_example = None
+    if shared_fn is not None:
+        shared_example, _ = jax.jit(shared_fn, static_argnums=2)(
+            shared_carry0 if shared_carry0 is not None else (),
+            example, False)
+
     def init_one(key):
+        if init_fn is not None:
+            return init_fn(model, key, example, shared_example)
         return model.init(key, example, train=False)
 
     variables = jax.jit(jax.vmap(init_one))(trial_keys)
@@ -200,64 +228,93 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
         val_idx = jax.device_put(val_idx, replicated)
         val_mask = jax.device_put(val_mask, replicated)
 
-    def train_epoch_one(carry, active, hp_row, rng, perm):
+    def _apply(variables, batch, hp_row, rng, train, shared):
+        # 6-arg hook when no shared computation (back-compat), 7-arg
+        # (trailing shared output) when shared_fn is set.
+        if shared_fn is None:
+            return apply_fn(model, variables, batch, hp_row, rng, train)
+        return apply_fn(model, variables, batch, hp_row, rng, train, shared)
+
+    def _trial_step(c, active, hp_row, srng, batch, shared):
+        params, stats, opt = c
+
+        def loss_fn(p):
+            variables = {"params": p}
+            if stats:
+                variables["batch_stats"] = stats
+            out, mutated = _apply(variables, batch, hp_row, srng, True,
+                                  shared)
+            loss = trial_criterion(
+                out["logits"], batch["label"],
+                jnp.ones(batch["label"].shape[0], jnp.float32),
+                hp_row, class_weights)
+            return loss, mutated.get("batch_stats", stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        # torch Adam weight_decay: L2 into the grad BEFORE the moments
+        # (optim.py:28-35 ordering), lr as a traced multiplier.
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g + hp_row["l2_reg"] * p, grads, params)
+        updates, new_opt = adam.update(grads, opt, params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - hp_row["lr"] * u, params, updates)
+        new_c = (new_params, new_stats, new_opt)
+        # Stopped trials freeze whole: params, BN stats, Adam moments.
+        new_c = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active > 0, n, o), new_c, c)
+        return new_c, loss
+
+    # Scan-of-vmap (not vmap-of-scan): the scan body first runs the
+    # trial-invariant shared_fn unbatched, then vmaps the per-trial update
+    # over the stacked axis. Without shared_fn this is the identical
+    # program vmap would build (vmap pushes through scan batching only
+    # the body), pinned by test_stacked_trials_match_solo_runs.
+    def train_epoch(shared_carry, carry, active, hp, rngs, perm):
         def step(c, xs):
-            params, stats, opt = c
+            sc, tc = c
             idx, step_i = xs
             batch = {k: v[idx] for k, v in train_data.items()}
-            srng = jax.random.fold_in(rng, step_i)
-
-            def loss_fn(p):
-                variables = {"params": p}
-                if stats:
-                    variables["batch_stats"] = stats
-                out, mutated = apply_fn(model, variables, batch, hp_row,
-                                        srng, True)
-                loss = trial_criterion(
-                    out["logits"], batch["label"],
-                    jnp.ones(batch["label"].shape[0], jnp.float32),
-                    hp_row, class_weights)
-                return loss, mutated.get("batch_stats", stats)
-
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            # torch Adam weight_decay: L2 into the grad BEFORE the moments
-            # (optim.py:28-35 ordering), lr as a traced multiplier.
-            grads = jax.tree_util.tree_map(
-                lambda g, p: g + hp_row["l2_reg"] * p, grads, params)
-            updates, new_opt = adam.update(grads, opt, params)
-            new_params = jax.tree_util.tree_map(
-                lambda p, u: p - hp_row["lr"] * u, params, updates)
-            new_c = (new_params, new_stats, new_opt)
-            # Stopped trials freeze whole: params, BN stats, Adam moments.
-            new_c = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(active > 0, n, o), new_c, c)
-            return new_c, loss
+            shared = None
+            if shared_fn is not None:
+                shared, sc = shared_fn(sc, batch, True)
+            srngs = jax.vmap(lambda r: jax.random.fold_in(r, step_i))(rngs)
+            new_tc, losses = jax.vmap(
+                _trial_step, in_axes=(0, 0, 0, 0, None, None))(
+                tc, active, hp, srngs, batch, shared)
+            return (sc, new_tc), losses
 
         steps = jnp.arange(perm.shape[0], dtype=jnp.int32)
-        carry, losses = jax.lax.scan(step, carry, (perm, steps))
-        return carry, losses.mean()
+        (shared_carry, carry), losses = jax.lax.scan(
+            step, (shared_carry, carry), (perm, steps))
+        return shared_carry, carry, losses.mean(axis=0)
 
-    def eval_one(carry, hp_row):
-        params, stats, _ = carry
-        variables = {"params": params}
-        if stats:
-            variables["batch_stats"] = stats
-
-        def one_batch(_, xs):
+    def eval_epoch(shared_carry, carry, hp):
+        def one_batch(sc, xs):
             idx, mask = xs
             batch = {k: v[idx] for k, v in val_data.items()}
-            out, _ = apply_fn(model, variables, batch, hp_row, root, False)
-            return None, trial_criterion(out["logits"], batch["label"],
-                                         mask, hp_row, class_weights)
+            shared = None
+            if shared_fn is not None:  # eval reads the carry, no advance
+                shared, _ = shared_fn(sc, batch, False)
 
-        _, losses = jax.lax.scan(one_batch, None, (val_idx, val_mask))
-        return losses.mean()
+            def one_trial(ci, hp_row):
+                params, stats, _ = ci
+                variables = {"params": params}
+                if stats:
+                    variables["batch_stats"] = stats
+                out, _ = _apply(variables, batch, hp_row, root, False,
+                                shared)
+                return trial_criterion(out["logits"], batch["label"],
+                                       mask, hp_row, class_weights)
 
-    epoch_fn = jax.jit(jax.vmap(train_epoch_one,
-                                in_axes=(0, 0, 0, 0, None)),
-                       donate_argnums=(0,))
-    eval_fn = jax.jit(jax.vmap(eval_one))
+            return sc, jax.vmap(one_trial)(carry, hp)
+
+        _, losses = jax.lax.scan(one_batch, shared_carry,
+                                 (val_idx, val_mask))
+        return losses.mean(axis=0)
+
+    epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
+    eval_fn = jax.jit(eval_epoch)
 
     shuffle_rng = np.random.default_rng(seed)
     best = np.full(k_trials, np.inf)
@@ -267,6 +324,9 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     stopped_epoch = np.full(k_trials, max_epochs - 1, np.int64)
     history = []
     carry = carry0
+    shared_carry = shared_carry0 if shared_carry0 is not None else ()
+    if trial_sharding is not None and shared_carry0 is not None:
+        shared_carry = jax.device_put(shared_carry, replicated)
     for epoch in range(max_epochs):
         perm = jnp.asarray(
             shuffle_rng.permutation(n_train)[:n_batches * b].astype(np.int32)
@@ -277,8 +337,9 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
             active_dev = jax.device_put(active_dev, trial_sharding)
         epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(
             trial_keys)
-        carry, _ = epoch_fn(carry, active_dev, hp, epoch_keys, perm)
-        val = np.asarray(eval_fn(carry, hp), np.float64)
+        shared_carry, carry, _ = epoch_fn(shared_carry, carry, active_dev,
+                                          hp, epoch_keys, perm)
+        val = np.asarray(eval_fn(shared_carry, carry, hp), np.float64)
         history.append(val)
         last_val = np.where(active, val, last_val)
         stopped_epoch = np.where(active, epoch, stopped_epoch)
@@ -295,6 +356,7 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
             "stopped_epoch": stopped_epoch}
     if return_state:
         info["carry"] = carry
+        info["shared_carry"] = shared_carry
     return last_val, info
 
 
