@@ -270,11 +270,15 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     # over the stacked axis. Without shared_fn this is the identical
     # program vmap would build (vmap pushes through scan batching only
     # the body), pinned by test_stacked_trials_match_solo_runs.
-    def train_epoch(shared_carry, carry, active, hp, rngs, perm):
+    # Data is a jit ARGUMENT, not a closure constant: closed-over
+    # arrays are baked into the HLO as literals, which bloats the
+    # executable and overflows remote-compile transports for
+    # volume-scale splits (a whole PET split is ~100s of MB).
+    def train_epoch(shared_carry, carry, active, hp, rngs, perm, data):
         def step(c, xs):
             sc, tc = c
             idx, step_i = xs
-            batch = {k: v[idx] for k, v in train_data.items()}
+            batch = {k: v[idx] for k, v in data.items()}
             shared = None
             if shared_fn is not None:
                 shared, sc = shared_fn(sc, batch, True)
@@ -289,10 +293,10 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
             step, (shared_carry, carry), (perm, steps))
         return shared_carry, carry, losses.mean(axis=0)
 
-    def eval_epoch(shared_carry, carry, hp):
+    def eval_epoch(shared_carry, carry, hp, data):
         def one_batch(sc, xs):
             idx, mask = xs
-            batch = {k: v[idx] for k, v in val_data.items()}
+            batch = {k: v[idx] for k, v in data.items()}
             shared = None
             if shared_fn is not None:  # eval reads the carry, no advance
                 shared, _ = shared_fn(sc, batch, False)
@@ -338,8 +342,9 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
         epoch_keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(
             trial_keys)
         shared_carry, carry, _ = epoch_fn(shared_carry, carry, active_dev,
-                                          hp, epoch_keys, perm)
-        val = np.asarray(eval_fn(shared_carry, carry, hp), np.float64)
+                                          hp, epoch_keys, perm, train_data)
+        val = np.asarray(eval_fn(shared_carry, carry, hp, val_data),
+                         np.float64)
         history.append(val)
         last_val = np.where(active, val, last_val)
         stopped_epoch = np.where(active, epoch, stopped_epoch)
