@@ -92,6 +92,17 @@ class DataLoader:
                  sharding=None, pad_last: bool = False,
                  device_put: bool = True):
         self.dataset = dataset
+        if batch_size < 1:
+            raise ValueError(
+                f"batch_size must be >= 1, got {batch_size} (an empty "
+                f"dataset split? len(dataset)={len(dataset)})")
+        if drop_last and len(dataset) < batch_size:
+            # Without this, the epoch yields ZERO batches and the failure
+            # surfaces later as a cryptic empty-concatenate inside the
+            # trainer's metric accumulation.
+            raise ValueError(
+                f"drop_last=True with len(dataset)={len(dataset)} < "
+                f"batch_size={batch_size} yields zero batches per epoch")
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last

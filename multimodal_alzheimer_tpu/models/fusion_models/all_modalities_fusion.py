@@ -95,7 +95,8 @@ class AllModalitiesFusion(nn.Module):
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False,
-                 towers: dict | None = None) -> dict:
+                 towers: dict | None = None,
+                 fusion_inputs: dict | None = None) -> dict:
         # ``towers`` optionally supplies externally-computed stage-1 tower
         # output dicts (keys 'pet'/'mri'/'tab') that replace the in-graph
         # forwards — the int8 serving path (inference/quantize.py) feeds
@@ -104,9 +105,25 @@ class AllModalitiesFusion(nn.Module):
         # Sharing must not change the variable tree: during init, run the
         # unshared graph so every duplicate tower's params/stats exist for
         # checkpoint grafting and save/restore.
+        #
+        # ``fusion_inputs`` goes one level further: externally-computed
+        # stage-2 fusion embeddings (keys 'anat_pet'/'anat_tab'/'pet_tab',
+        # each (B, 64)) skip all three sub-models entirely, so only the
+        # stage-3 head (stage3out/cls3) runs — and, unlike ``towers``,
+        # init too builds head-only params. This is the vectorized-HPO
+        # hook (train/fusion_hpo.py): K trials vmap the head over ONE
+        # shared frozen sub-model forward per step.
         if towers and not self.share_towers:
             raise ValueError("external towers require share_towers=True")
-        if self.share_towers and not self.is_initializing():
+        if fusion_inputs is not None:
+            if not self.freeze_towers:
+                raise ValueError(
+                    "fusion_inputs requires freeze_towers=True (a trainable "
+                    "sub-model cannot be computed externally)")
+            out_anat_pet = fusion_inputs["anat_pet"]
+            out_anat_tab = fusion_inputs["anat_tab"]
+            out_pet_tab = fusion_inputs["pet_tab"]
+        elif self.share_towers and not self.is_initializing():
             if not (self.model_anat_pet.freeze_towers
                     and self.model_anat_tab.freeze_towers
                     and self.model_pet_tab.freeze_towers):

@@ -119,8 +119,31 @@ def _objective(trial):
     return train(hparams, EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """``parallel=K`` vectorizes frozen proposals: one pass through the
+    three frozen stage-2 sub-models (stage-1 towers shared, the
+    share_towers forward) feeds K vmapped stage-3 heads per step
+    (train/fusion_hpo.py); unfrozen ones keep the sequential path."""
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        from multimodal_alzheimer_tpu.train import fusion_hpo
+        from multimodal_alzheimer_tpu.utils.path_config import (
+            load_path_config,
+        )
+
+        paths = load_path_config()
+        return fusion_hpo.optimize_stage3_all_modalities(
+            study, sample_hparams,
+            hpo.oom_guard(lambda hp: train(hp, EXPERIMENT_NAME,
+                                           EXPERIMENT_VERSION)),
+            n_trials=n_trials, parallel=parallel,
+            path_pet=str(paths["pet_cnn_3_class"]),
+            path_mri=str(paths["mri_cnn_3_class"]),
+            path_tabular=str(paths["tabular_mlp_3_class"]),
+            path_anat_pet=str(paths["pet_mri_3_class"]),
+            path_anat_tab=str(paths["mri_tab_3_class"]),
+            path_pet_tab=str(paths["pet_tab_3_class"]), timeout=timeout)
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

@@ -89,8 +89,26 @@ def _objective(trial):
     return train(hparams, EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """``parallel=K`` vectorizes frozen proposals via shared-tower trials
+    (train/fusion_hpo.py); unfrozen ones keep the sequential path."""
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        from multimodal_alzheimer_tpu.train import fusion_hpo
+        from multimodal_alzheimer_tpu.utils.path_config import (
+            load_path_config,
+        )
+
+        paths = load_path_config()
+        return fusion_hpo.optimize_stage2_mri_tab(
+            study, sample_hparams,
+            hpo.oom_guard(lambda hp: train(hp, EXPERIMENT_NAME,
+                                           EXPERIMENT_VERSION)),
+            n_trials=n_trials, parallel=parallel, n_classes=2,
+            path_mri=str(paths["mri_cnn_2_class"]),
+            path_tabular=str(paths["tabular_mlp_2_class"]),
+            timeout=timeout)
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

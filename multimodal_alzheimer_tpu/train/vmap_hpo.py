@@ -328,7 +328,12 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     stopped_epoch = np.full(k_trials, max_epochs - 1, np.int64)
     history = []
     carry = carry0
-    shared_carry = shared_carry0 if shared_carry0 is not None else ()
+    # Copy the caller's shared carry: epoch_fn donates its buffers, and
+    # study drivers (train/fusion_hpo.py) reuse one shared_carry0 across
+    # every trial bucket — without the copy the second bucket would hand
+    # XLA deleted buffers. BN-stat trees are tiny next to an HPO run.
+    shared_carry = (jax.tree_util.tree_map(jnp.array, shared_carry0)
+                    if shared_carry0 is not None else ())
     if trial_sharding is not None and shared_carry0 is not None:
         shared_carry = jax.device_put(shared_carry, replicated)
     for epoch in range(max_epochs):

@@ -31,6 +31,7 @@ from multimodal_alzheimer_tpu.train.checkpoint import graft_params
 PET_HP = {"n_classes": 3, "conv_out": (4,), "filter_size": (3,),
           "linear_out": 8}
 MRI_HP = {"n_classes": 3, "resnet_depth": 10}
+TAB_HP = {"n_classes": 3, "hidden": (16, 32)}
 CW = (0.55, 0.75, 0.7)
 S = 16
 
@@ -45,18 +46,49 @@ def _data(n, seed):
     return {
         "pet1451": rng.normal(size=(n, S, S, S)).astype(np.float32),
         "mri": rng.normal(size=(n, S, S, S)).astype(np.float32),
+        "tabular": rng.normal(size=(n, 9)).astype(np.float32),
         "label": rng.integers(0, 3, n).astype(np.int32),
     }
 
 
-def _towers():
-    pet_model = SmallPETCNN.from_hparams(PET_HP)
-    mri_model = AnatCNN.from_hparams(MRI_HP, freeze_backbone=False)
+def _tower(name):
+    model = {
+        "pet": lambda: SmallPETCNN.from_hparams(PET_HP),
+        "mri": lambda: AnatCNN.from_hparams(MRI_HP, freeze_backbone=False),
+        "tab": lambda: __import__(
+            "multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp",
+            fromlist=["TabularMLP"]).TabularMLP.from_hparams(TAB_HP),
+    }[name]()
     example = {k: jnp.asarray(v[:2]) for k, v in _data(4, 0).items()}
-    pet_vars = pet_model.init(jax.random.PRNGKey(1), example, train=False)
-    mri_vars = mri_model.init(jax.random.PRNGKey(2), example, train=False)
-    return ({"pet": pet_model, "mri": mri_model},
-            {"pet": pet_vars, "mri": mri_vars})
+    seed = {"pet": 1, "mri": 2, "tab": 3}[name]
+    return model, model.init(jax.random.PRNGKey(seed), example, train=False)
+
+
+def _fusion_case(kind):
+    """(head_model, tower_models, tower_vars, graft_map) per stage-2 kind."""
+    from multimodal_alzheimer_tpu.models.fusion_models.pet_tabular_fusion \
+        import PETTabularFusion
+    from multimodal_alzheimer_tpu.models.fusion_models.tabular_mri_fusion \
+        import TabularMRIFusion
+
+    hp = {"n_classes": 3, "lr_pretrained": None}
+    if kind == "anat_pet":
+        names = ("pet", "mri")
+        head = AnatPETFusion.from_hparams(hp, PET_HP, MRI_HP)
+        graft_keys = {"pet": "pet_model", "mri": "mri_model"}
+    elif kind == "mri_tab":
+        names = ("mri", "tab")
+        head = TabularMRIFusion.from_hparams(hp, MRI_HP, TAB_HP)
+        graft_keys = {"mri": "mri_model", "tab": "tab_model"}
+    else:
+        names = ("pet", "tab")
+        head = PETTabularFusion.from_hparams(hp, PET_HP, TAB_HP)
+        graft_keys = {"pet": "pet_model", "tab": "tab_model"}
+    towers = {n: _tower(n) for n in names}
+    tower_models = {n: m for n, (m, _) in towers.items()}
+    tower_vars = {n: v for n, (_, v) in towers.items()}
+    graft_map = {graft_keys[n]: tower_vars[n] for n in names}
+    return head, tower_models, tower_vars, graft_map
 
 
 def _full_apply(model, variables, batch, hp, rng, train):
@@ -68,10 +100,9 @@ def _full_apply(model, variables, batch, hp, rng, train):
     return model.apply(variables, batch, train=False), {}
 
 
-def test_shared_tower_trials_match_full_model():
-    tower_models, tower_vars = _towers()
-    head = AnatPETFusion.from_hparams(
-        {"n_classes": 3, "lr_pretrained": None}, PET_HP, MRI_HP)
+@pytest.mark.parametrize("kind", ["anat_pet", "mri_tab", "pet_tab"])
+def test_shared_tower_trials_match_full_model(kind):
+    head, tower_models, tower_vars, graft_map = _fusion_case(kind)
     assert head.freeze_towers
     train_data, val_data = _data(24, 3), _data(12, 4)
     hp = vmap_hpo.stack_trial_hparams(ROWS)
@@ -80,9 +111,7 @@ def test_shared_tower_trials_match_full_model():
 
     def full_init(model, key, example, shared):
         variables = model.init(key, example, train=False)
-        return graft_params(variables,
-                            {"pet_model": tower_vars["pet"],
-                             "mri_model": tower_vars["mri"]})
+        return graft_params(variables, graft_map)
 
     _, full_info = vmap_hpo.run_parallel_trials(
         head, hp, train_data, val_data, apply_fn=_full_apply,
@@ -96,10 +125,83 @@ def test_shared_tower_trials_match_full_model():
                                rtol=2e-5, atol=1e-6)
 
 
+def test_stage3_shared_trials_match_full_model():
+    """Stage-3: K vmapped stage3out/cls3 heads over ONE shared pass
+    through the three frozen stage-2 sub-models must trace the same
+    trajectories as the full reference graph (share_towers=False,
+    duplicate tower copies, two-level grafting) trained per trial."""
+    from multimodal_alzheimer_tpu.models.fusion_models.all_modalities_fusion \
+        import AllModalitiesFusion
+    from multimodal_alzheimer_tpu.models.fusion_models.pet_tabular_fusion \
+        import PETTabularFusion
+    from multimodal_alzheimer_tpu.models.fusion_models.tabular_mri_fusion \
+        import TabularMRIFusion
+
+    hp2 = {"n_classes": 3, "lr_pretrained": None}
+    hp3 = {"n_classes": 3, "lr_pretrained": None}
+    towers = {n: _tower(n) for n in ("pet", "mri", "tab")}
+    tower_vars = {n: v for n, (_, v) in towers.items()}
+
+    example = {k: jnp.asarray(v[:2]) for k, v in _data(4, 8).items()}
+    sub_models = {
+        "anat_pet": AnatPETFusion.from_hparams(hp2, PET_HP, MRI_HP),
+        "anat_tab": TabularMRIFusion.from_hparams(hp2, MRI_HP, TAB_HP),
+        "pet_tab": PETTabularFusion.from_hparams(hp2, PET_HP, TAB_HP),
+    }
+    sub_ckpt = {n: m.init(jax.random.PRNGKey(40 + i), example, train=False)
+                for i, (n, m) in enumerate(sub_models.items())}
+    graft_s1 = {"anat_pet": {"pet_model": tower_vars["pet"],
+                             "mri_model": tower_vars["mri"]},
+                "anat_tab": {"mri_model": tower_vars["mri"],
+                             "tab_model": tower_vars["tab"]},
+                "pet_tab": {"pet_model": tower_vars["pet"],
+                            "tab_model": tower_vars["tab"]}}
+    sub_variables = {n: graft_params(sub_ckpt[n], graft_s1[n])
+                     for n in sub_models}
+
+    head3 = AllModalitiesFusion.from_hparams(hp3, hp2, hp2, hp2,
+                                             PET_HP, MRI_HP, TAB_HP)
+    full3 = AllModalitiesFusion.from_hparams(hp3, hp2, hp2, hp2,
+                                             PET_HP, MRI_HP, TAB_HP,
+                                             share_towers=False)
+    assert head3.freeze_towers and not full3.share_towers
+
+    def full_init(model, key, example, shared):
+        variables = model.init(key, example, train=False)
+        variables = graft_params(variables, {
+            "model_anat_pet": sub_ckpt["anat_pet"],
+            "model_anat_tab": sub_ckpt["anat_tab"],
+            "model_pet_tab": sub_ckpt["pet_tab"]})
+        return graft_params(variables, {
+            "model_anat_pet/pet_model": tower_vars["pet"],
+            "model_anat_pet/mri_model": tower_vars["mri"],
+            "model_anat_tab/mri_model": tower_vars["mri"],
+            "model_anat_tab/tab_model": tower_vars["tab"],
+            "model_pet_tab/pet_model": tower_vars["pet"],
+            "model_pet_tab/tab_model": tower_vars["tab"]})
+
+    train_data, val_data = _data(24, 3), _data(12, 4)
+    hp = vmap_hpo.stack_trial_hparams(ROWS)
+    common = dict(batch_size=4, max_epochs=3, patience=10,
+                  class_weights=CW, seed=9)
+
+    _, full_info = vmap_hpo.run_parallel_trials(
+        full3, hp, train_data, val_data, apply_fn=_full_apply,
+        init_fn=full_init, **common)
+
+    shared_fn, carry0 = fusion_hpo.make_stage3_shared_fn(sub_models,
+                                                         sub_variables)
+    _, shared_info = fusion_hpo.run_shared_trials(
+        head3, shared_fn, carry0, hp, train_data, val_data,
+        hook_kwarg="fusion_inputs", **common)
+
+    np.testing.assert_allclose(shared_info["val_history"],
+                               full_info["val_history"],
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_head_only_init_matches_full_init():
-    tower_models, tower_vars = _towers()
-    head = AnatPETFusion.from_hparams(
-        {"n_classes": 3, "lr_pretrained": None}, PET_HP, MRI_HP)
+    head, tower_models, tower_vars, _ = _fusion_case("anat_pet")
     example = {k: jnp.asarray(v[:2]) for k, v in _data(4, 5).items()}
     shared_fn, carry0 = fusion_hpo.make_shared_towers_fn(tower_models,
                                                          tower_vars)
@@ -119,9 +221,7 @@ def test_head_only_init_matches_full_init():
 def test_shared_tower_l2_and_dropoutfree_towers_run():
     """l2>0 decays head params only (fusion_optimizer frozen-group parity);
     just assert it runs finite and differs from the l2=0 trajectory."""
-    tower_models, tower_vars = _towers()
-    head = AnatPETFusion.from_hparams(
-        {"n_classes": 3, "lr_pretrained": None}, PET_HP, MRI_HP)
+    head, tower_models, tower_vars, _ = _fusion_case("anat_pet")
     train_data, val_data = _data(16, 6), _data(8, 7)
     rows = [dict(ROWS[0]), dict(ROWS[0], l2_reg=1e-1)]
     hp = vmap_hpo.stack_trial_hparams(rows)
@@ -196,4 +296,87 @@ def test_optimize_stage2_entrypoint(tmp_path):
     frozen_told = sum(1 for v in values if v != 1.5)
     assert frozen_told + len(sequential_calls) == 6
     for hparams in sequential_calls:  # only unfrozen rows take that path
+        assert hparams["lr_pretrained"] is not None
+
+
+def test_optimize_stage3_entrypoint(tmp_path):
+    """Stage-3 study driver e2e: six fabricated checkpoints (three stage-1
+    towers + three stage-2 fusions), frozen proposals vectorized through
+    the fusion_inputs head-only path, unfrozen routed sequentially."""
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.fusion_models import (
+        train_all_modalities_fusion,
+    )
+    from multimodal_alzheimer_tpu.models.fusion_models.pet_tabular_fusion \
+        import PETTabularFusion
+    from multimodal_alzheimer_tpu.models.fusion_models.tabular_mri_fusion \
+        import TabularMRIFusion
+    from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import (
+        TabularMLP,
+    )
+    from multimodal_alzheimer_tpu.train import hpo
+    from multimodal_alzheimer_tpu.train.checkpoint import save_checkpoint
+
+    vol = (19, 23, 17)
+    # triple (PET+MRI+tab) pairing is sparse on synthetic sessions: this
+    # subjects/seed combo yields 25 train / 8 val triples (non-empty val).
+    write_synthetic_split(str(tmp_path / "data"), n_subjects=(24, 10, 4),
+                          seed=3, volume_shape=vol)
+
+    rng = np.random.default_rng(0)
+    example = {
+        "pet1451": jnp.asarray(rng.normal(size=(2,) + vol)
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(size=(2,) + vol).astype(np.float32)),
+        "tabular": jnp.asarray(rng.normal(size=(2, 9)).astype(np.float32)),
+    }
+    pet_hp = dict(PET_HP, norm_mean=0.5145, norm_std=0.5383,
+                  batchnorm=False)
+    mri_hp = dict(MRI_HP, conv_out=[], filter_size=[], linear_out=(),
+                  batchnorm_begin=False, batchnorm_dense=False,
+                  norm_percentile=0.98, lr_pretrained=None)
+    tab_hp = dict(TAB_HP, dropout_p=0.0)
+    hp2 = {"n_classes": 3, "lr_pretrained": None, "simple_dim_red": False}
+    models = {
+        "pet": SmallPETCNN.from_hparams(pet_hp),
+        "mri": AnatCNN.from_hparams(mri_hp, freeze_backbone=False),
+        "tabular": TabularMLP.from_hparams(tab_hp),
+        "anat_pet": AnatPETFusion.from_hparams(hp2, pet_hp, mri_hp),
+        "anat_tab": TabularMRIFusion.from_hparams(hp2, mri_hp, tab_hp),
+        "pet_tab": PETTabularFusion.from_hparams(hp2, pet_hp, tab_hp),
+    }
+    hps = {"pet": pet_hp, "mri": mri_hp, "tabular": tab_hp,
+           "anat_pet": hp2, "anat_tab": hp2, "pet_tab": hp2}
+    paths = {}
+    for i, (name, model) in enumerate(models.items()):
+        variables = model.init(jax.random.PRNGKey(10 + i), example,
+                               train=False)
+        save_checkpoint(tmp_path / f"{name}_ckpt", variables, hps[name])
+        paths[f"path_{name}"] = str(tmp_path / f"{name}_ckpt")
+
+    sequential_calls = []
+
+    def sequential_objective(hparams):
+        sequential_calls.append(hparams)
+        return 1.5
+
+    old = os.environ.get("MMALZ_DATA_DIR")
+    os.environ["MMALZ_DATA_DIR"] = str(tmp_path / "data")
+    try:
+        study = hpo.create_study(direction="minimize")
+        fusion_hpo.optimize_stage3_all_modalities(
+            study, train_all_modalities_fusion.sample_hparams,
+            sequential_objective, n_trials=4, parallel=2, **paths)
+    finally:
+        if old is None:
+            os.environ.pop("MMALZ_DATA_DIR", None)
+        else:
+            os.environ["MMALZ_DATA_DIR"] = old
+
+    assert len(study.trials) == 4
+    values = [v for v, _ in study.trials]
+    assert all(np.isfinite(v) or v == math.inf for v in values)
+    frozen_told = sum(1 for v in values if v != 1.5)
+    assert frozen_told + len(sequential_calls) == 4
+    for hparams in sequential_calls:
         assert hparams["lr_pretrained"] is not None
