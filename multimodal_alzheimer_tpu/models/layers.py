@@ -101,6 +101,15 @@ def max_pool3d(x: jnp.ndarray, window: int = 2,
     # XLA's SelectAndScatter backward measured faster end-to-end than the
     # scatter-free custom VJP in ops/maxpool.py (see resnet3d._max_pool_stem
     # note); the custom VJP remains available + parity-tested.
+    if min(x.shape[1:4]) < window:
+        # torch.nn.MaxPool3d raises "output size ... too small" here; the
+        # VALID-window pool would instead emit a zero-size tensor whose
+        # GAP silently turns the whole model NaN (deep conv ladders on
+        # volumes smaller than 2^n_blocks).
+        raise ValueError(
+            f"max_pool3d: spatial dims {x.shape[1:4]} smaller than the "
+            f"{window}^3 window — the conv tower is too deep for this "
+            f"volume size")
     stride = stride or window
     return nn.max_pool(x, (window,) * 3, strides=(stride,) * 3,
                        padding="VALID")
@@ -109,6 +118,23 @@ def max_pool3d(x: jnp.ndarray, window: int = 2,
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """AdaptiveAvgPool3d(1) + Flatten: (B, D, H, W, C) -> (B, C)."""
     return jnp.mean(x, axis=(1, 2, 3))
+
+
+def traced_dropout(module: nn.Module, x: jnp.ndarray, rate,
+                   dtype) -> jnp.ndarray:
+    """Dropout whose rate is a runtime (traced) value.
+
+    Same masking semantics as ``nn.Dropout`` in train mode — bernoulli
+    keep mask, survivors scaled by 1/keep — but with ``rate`` traced, so
+    ``jax.vmap`` can train K HPO trials with K different rates in one
+    program (train/vmap_hpo.py). ``rate == 0.0`` keeps everything and
+    divides by 1.0: bit-exact to applying no dropout (it only consumes
+    one ``make_rng`` fold). Caller gates on train mode.
+    """
+    keep = 1.0 - jnp.asarray(rate, jnp.float32)
+    rng = module.make_rng("dropout")
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep.astype(dtype), 0.0)
 
 
 def _s2d_pool_widx(k: int):
@@ -180,6 +206,13 @@ class S2DConvReLUPool(nn.Module):
         k = self.kernel_size
         assert k % 2 == 1, "parity decomposition needs odd kernels"
         b, d, h, w, cin = x.shape
+        if min(d, h, w) < 2:
+            # Same guard as layers.max_pool3d: a 2^3 pool on a size-1 dim
+            # would emit a zero-size tensor (silent NaN downstream).
+            raise ValueError(
+                f"S2DConvReLUPool: spatial dims {(d, h, w)} smaller than "
+                f"the 2^3 pool window — the conv tower is too deep for "
+                f"this volume size")
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (k, k, k, cin, self.features), jnp.float32)
@@ -229,7 +262,7 @@ class ConvBlock3D(nn.Module):
     s2d_pool: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
         # cin <= 8 is the measured crossover (v5e, 91^3-class grids):
         # fused wins 168 -> 22 ms at cin=1 and 38 -> 23 ms at cin=8, but
         # LOSES at cin>=16 (2.3 -> 8.6 ms: the naive conv already runs at
@@ -246,7 +279,13 @@ class ConvBlock3D(nn.Module):
                                self.bn_torch_stats)(x)
             x = nn.relu(x)
             x = max_pool3d(x)
-        if self.dropout_p is not None:
+        if dropout_rate is not None:
+            # Traced-rate override (vectorized HPO, train/vmap_hpo.py):
+            # same bernoulli-keep/rescale semantics as nn.Dropout but with
+            # the rate a runtime value; rate 0.0 is bit-exact no-dropout.
+            if train:
+                x = traced_dropout(self, x, dropout_rate, self.dtype)
+        elif self.dropout_p is not None:
             x = nn.Dropout(rate=self.dropout_p, name="dropout")(
                 x, deterministic=not train)
         return x
@@ -264,11 +303,12 @@ class ConvTower3D(nn.Module):
     s2d_pool: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
         for i, (features, kernel) in enumerate(
                 zip(self.conv_out, self.filter_size)):
             x = ConvBlock3D(features, kernel, self.use_batchnorm,
                             self.dropout_p, self.dtype,
                             self.bn_torch_stats, self.s2d_pool,
-                            name=f"block_{i}")(x, train)
+                            name=f"block_{i}")(x, train,
+                                               dropout_rate=dropout_rate)
         return x

@@ -121,8 +121,86 @@ def _objective(trial):
     return train_anat(hparams, EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """HPO entry point. ``parallel=K`` switches to the vectorized searcher
+    (train/vmap_hpo.py). Static signature: resnet depth, dense-block
+    shape, batchnorm flags, batch size (+ its epoch-budget bump) and
+    ``norm_percentile`` — the one *preprocessing* knob, handled by
+    normalizing the raw split on device once per bucket (the quantile
+    min-max is deterministic and trial-invariant given q). Traced knobs:
+    lr, l2, focal gamma, and ``lr_pretrained`` via the two-group
+    ``lr_select`` hook — frozen proposals trace backbone lr 0.0, which
+    reproduces the sequential path's optimizer-side freezing exactly (the
+    model builds with ``freeze_backbone=False`` so one program serves
+    frozen and unfrozen trials in the same bucket).
+    """
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        import jax
+
+        from multimodal_alzheimer_tpu.train import vmap_hpo
+        from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
+
+        base = {"n_classes": 2}
+        trainset, valset = build_datasets(
+            base, ["t1w"], normalize_mri={"per_scan_norm": "min_max"},
+            quantile=0.99)
+        attach_class_weights(base, trainset)
+        # Raw volumes + masks stay host-side; each bucket normalizes its
+        # own device copy (4 possible percentiles x ~GB splits would not
+        # all fit in HBM, and the min-max pass is one cheap kernel).
+        raw_train = full_arrays(trainset)
+        raw_val = full_arrays(valset)
+
+        def normalized(q):
+            trainset.quantile = q  # read at closure-build time below
+            pre = jax.jit(trainset.get_device_preprocess())
+            return pre(raw_train), pre(raw_val)
+
+        def signature(hparams):
+            return (int(hparams["resnet_depth"]),
+                    tuple(hparams["linear_out"]),
+                    bool(hparams["batchnorm_begin"]),
+                    bool(hparams["batchnorm_dense"]),
+                    int(hparams["batch_size"]),
+                    int(hparams["max_epochs"]),
+                    int(hparams["early_stopping_patience"]),
+                    float(hparams["norm_percentile"]))
+
+        def lr_select(hp_row, keys):
+            # backbone_head_optimizer parity: 'head' at lr, everything
+            # else at lr_pretrained (0.0 when frozen).
+            return (hp_row["lr"] if keys and keys[0] == "head"
+                    else hp_row["lr_pretrained"])
+
+        def apply_fn(model, variables, batch, hp, rng, train):
+            del hp, rng  # the MRI space has no traced model knobs
+            if train:
+                return model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+            return model.apply(variables, batch, train=False), {}
+
+        def batch_objective(sig, rows):
+            model = AnatCNN.from_hparams(dict(base, **rows[0]),
+                                         freeze_backbone=False)
+            hp = vmap_hpo.stack_trial_hparams(rows, pad_to=parallel,
+                                              extra_keys=("lr_pretrained",))
+            train_data, val_data = normalized(
+                float(rows[0]["norm_percentile"]))
+            values, _ = vmap_hpo.run_parallel_trials(
+                model, hp, train_data, val_data,
+                batch_size=int(rows[0]["batch_size"]),
+                max_epochs=int(rows[0]["max_epochs"]),
+                patience=int(rows[0]["early_stopping_patience"]),
+                class_weights=base["loss_class_weights"], seed=SEED,
+                apply_fn=apply_fn, lr_select=lr_select)
+            return [float(v) for v in values[:len(rows)]]
+
+        vmap_hpo.optimize_batched(study, sample_hparams, batch_objective,
+                                  n_trials=n_trials, parallel=parallel,
+                                  signature_fn=signature, timeout=timeout)
+        return study
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

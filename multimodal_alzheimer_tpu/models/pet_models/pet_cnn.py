@@ -25,7 +25,11 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from multimodal_alzheimer_tpu.models.layers import ConvTower3D, global_avg_pool
+from multimodal_alzheimer_tpu.models.layers import (
+    ConvTower3D,
+    global_avg_pool,
+    traced_dropout,
+)
 
 
 class SmallPETCNN(nn.Module):
@@ -57,7 +61,14 @@ class SmallPETCNN(nn.Module):
         return cls(**kwargs)
 
     @nn.compact
-    def __call__(self, batch: dict, train: bool = False) -> dict:
+    def __call__(self, batch: dict, train: bool = False,
+                 dropout_conv_rate=None, dropout_dense_rate=None) -> dict:
+        """``dropout_conv_rate``/``dropout_dense_rate`` (optional, traced)
+        override the static dropout attributes with runtime values —
+        same bernoulli-keep semantics (``layers.traced_dropout``), so
+        ``jax.vmap`` trains K HPO trials with K different rates in one
+        program (train/vmap_hpo.py); 0.0 is bit-exact no-dropout. The
+        default ``None`` keeps the static ``nn.Dropout`` path."""
         x = batch[self.input_key]
         if x.ndim == 4:
             x = x[..., None]  # (B, D, H, W) -> NDHWC
@@ -66,9 +77,13 @@ class SmallPETCNN(nn.Module):
         x = ConvTower3D(self.conv_out, self.filter_size, self.batchnorm,
                         self.dropout_conv_p, self.dtype,
                         self.bn_torch_stats, self.s2d_pool,
-                        name="convs")(x, train)
+                        name="convs")(x, train,
+                                      dropout_rate=dropout_conv_rate)
         h = global_avg_pool(x)
-        if self.dropout_dense_p is not None and self.linear_out:
+        if dropout_dense_rate is not None and self.linear_out:
+            if train:
+                h = traced_dropout(self, h, dropout_dense_rate, self.dtype)
+        elif self.dropout_dense_p is not None and self.linear_out:
             h = nn.Dropout(rate=self.dropout_dense_p, name="dense_dropout")(
                 h, deterministic=not train)
         embeddings = {"gap": h}

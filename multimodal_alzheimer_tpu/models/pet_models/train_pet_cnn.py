@@ -98,8 +98,74 @@ def _objective(trial):
     return train(hparams, EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """HPO entry point. ``parallel=K`` switches to the vectorized searcher
+    (train/vmap_hpo.py): the batched TPE asks K configs per round; configs
+    sharing the static signature (conv ladder, filter sizes, batchnorm,
+    linear_out, batch size and the batch>=64 epoch-budget bump) train
+    simultaneously under one ``jax.vmap``-ed program, with lr, focal gamma
+    and BOTH dropout rates as traced per-trial values (absent dropout
+    knobs trace as rate 0.0 — bit-exact no-dropout, so dropout presence
+    never fragments a bucket). The winning config should be refit via
+    ``train()`` when a checkpoint is needed.
+    """
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        from multimodal_alzheimer_tpu.train import vmap_hpo
+        from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
+
+        import jax
+
+        base = {"n_classes": 3}
+        trainset, valset = build_datasets(
+            base, ["pet1451"],
+            normalize_pet={"mean": 0.5145, "std": 0.5383})
+        attach_class_weights(base, trainset)
+        # The PET normalization is elementwise + trial-invariant: apply it
+        # ONCE over the whole split instead of per step per trial.
+        pre = jax.jit(trainset.get_device_preprocess())
+        train_data = pre(full_arrays(trainset))
+        val_data = pre(full_arrays(valset))
+
+        def signature(hparams):
+            return (tuple(hparams["conv_out"]),
+                    tuple(hparams["filter_size"]),
+                    bool(hparams["batchnorm"]),
+                    int(hparams.get("linear_out") or 0),
+                    int(hparams["batch_size"]),
+                    int(hparams["max_epochs"]),
+                    int(hparams["early_stopping_patience"]))
+
+        def apply_fn(model, variables, batch, hp, rng, train):
+            if train:
+                return model.apply(
+                    variables, batch, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                    dropout_conv_rate=hp["dropout_conv_p"],
+                    dropout_dense_rate=hp["dropout_dense_p"])
+            return model.apply(variables, batch, train=False), {}
+
+        def batch_objective(sig, rows):
+            model = SmallPETCNN.from_hparams(
+                dict(base, **rows[0]),
+                dropout_conv_p=None, dropout_dense_p=None)
+            hp = vmap_hpo.stack_trial_hparams(
+                rows, pad_to=parallel,
+                extra_keys=("dropout_conv_p", "dropout_dense_p"))
+            values, _ = vmap_hpo.run_parallel_trials(
+                model, hp, train_data, val_data,
+                batch_size=int(rows[0]["batch_size"]),
+                max_epochs=int(rows[0]["max_epochs"]),
+                patience=int(rows[0]["early_stopping_patience"]),
+                class_weights=base["loss_class_weights"], seed=SEED,
+                apply_fn=apply_fn)
+            return [float(v) for v in values[:len(rows)]]
+
+        vmap_hpo.optimize_batched(study, sample_hparams, batch_objective,
+                                  n_trials=n_trials, parallel=parallel,
+                                  signature_fn=signature, timeout=timeout)
+        return study
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from multimodal_alzheimer_tpu.models.layers import traced_dropout
+
 
 class TabularMLP(nn.Module):
     n_classes: int
@@ -87,10 +89,7 @@ class TabularMLP(nn.Module):
             h = nn.relu(h)
             if dropout_rate is not None:
                 if train:
-                    keep = 1.0 - jnp.asarray(dropout_rate, jnp.float32)
-                    rng = self.make_rng("dropout")
-                    mask = jax.random.bernoulli(rng, p=keep, shape=h.shape)
-                    h = jnp.where(mask, h / keep.astype(self.dtype), 0.0)
+                    h = traced_dropout(self, h, dropout_rate, self.dtype)
             elif self.dropout_p:
                 h = nn.Dropout(rate=self.dropout_p, name=f"dropout_{i}")(
                     h, deterministic=not train)

@@ -57,7 +57,8 @@ TRACED_KEYS = ("lr", "l2_reg", "dropout_p", "fl_gamma")
 
 
 def stack_trial_hparams(rows: Sequence[dict], pad_to: Optional[int] = None,
-                        seed_offset: int = 0) -> dict:
+                        seed_offset: int = 0,
+                        extra_keys: Sequence[str] = ()) -> dict:
     """Stack per-trial hparam dicts into (K,) traced arrays.
 
     ``fl_gamma`` None/0 selects weighted CE (``use_focal`` 0); truthy
@@ -65,6 +66,8 @@ def stack_trial_hparams(rows: Sequence[dict], pad_to: Optional[int] = None,
     ``losses.make_criterion``. ``pad_to`` repeats the last row so every
     bucket compiles at one fixed width; padded rows are trained but their
     results are discarded by the caller (slice ``[:len(rows)]``).
+    ``extra_keys`` stacks additional model-family-specific traced floats
+    (e.g. the PET CNN's two dropout rates); absent/None values become 0.0.
     """
     rows = list(rows)
     n_real = len(rows)
@@ -77,7 +80,7 @@ def stack_trial_hparams(rows: Sequence[dict], pad_to: Optional[int] = None,
         return jnp.asarray([float(r.get(key) or 0.0) for r in rows],
                            jnp.float32)
 
-    return {
+    hp = {
         "lr": farr("lr"),
         "l2_reg": farr("l2_reg"),
         "dropout_p": farr("dropout_p"),
@@ -88,6 +91,9 @@ def stack_trial_hparams(rows: Sequence[dict], pad_to: Optional[int] = None,
             [int(r.get("trial_seed", seed_offset + i))
              for i, r in enumerate(rows)], jnp.int32),
     }
+    for key in extra_keys:
+        hp[key] = farr(key)
+    return hp
 
 
 def trial_criterion(logits, labels, mask, hp, class_weights):
@@ -129,7 +135,8 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
                         return_state: bool = False, mesh=None,
                         shared_fn: Optional[Callable] = None,
                         shared_carry0=None,
-                        init_fn: Optional[Callable] = None):
+                        init_fn: Optional[Callable] = None,
+                        lr_select: Optional[Callable] = None):
     """Train K = hp['lr'].shape[0] trials of ``model`` in one vmapped loop.
 
     ``train_data``/``val_data``: dicts of stacked host/device arrays with a
@@ -257,8 +264,24 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
         grads = jax.tree_util.tree_map(
             lambda g, p: g + hp_row["l2_reg"] * p, grads, params)
         updates, new_opt = adam.update(grads, opt, params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p - hp_row["lr"] * u, params, updates)
+        if lr_select is None:
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p - hp_row["lr"] * u, params, updates)
+        else:
+            # Per-group traced lrs (``optim.build_optimizer`` parity for
+            # the vmapped trainer): ``lr_select(hp_row, path_keys)``
+            # returns this leaf's traced lr — e.g. the MRI search's
+            # head-at-lr / backbone-at-lr_pretrained split, with a traced
+            # 0.0 reproducing the frozen group's zero updates exactly
+            # (Adam moments differ from set_to_zero but are unobservable
+            # through the 0-scaled update).
+            def upd(kp, p, u):
+                keys = tuple(getattr(x, "key", getattr(x, "idx", str(x)))
+                             for x in kp)
+                return p - lr_select(hp_row, keys) * u
+
+            new_params = jax.tree_util.tree_map_with_path(upd, params,
+                                                          updates)
         new_c = (new_params, new_stats, new_opt)
         # Stopped trials freeze whole: params, BN stats, Adam moments.
         new_c = jax.tree_util.tree_map(

@@ -258,6 +258,223 @@ def test_mesh_rejects_indivisible_width():
         _run(_rows(), mesh=make_mesh(8))
 
 
+def _synthetic_pet(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "pet1451": (rng.normal(size=(n, 16, 16, 16)) * 0.5 + 0.5)
+        .astype(np.float32),
+        "label": rng.integers(0, 3, n).astype(np.int32),
+    }
+
+
+def _pet_apply(model, variables, batch, hp, rng, train):
+    if train:
+        return model.apply(variables, batch, train=True,
+                           rngs={"dropout": rng}, mutable=["batch_stats"],
+                           dropout_conv_rate=hp["dropout_conv_p"],
+                           dropout_dense_rate=hp["dropout_dense_p"])
+    return model.apply(variables, batch, train=False), {}
+
+
+def test_pet_cnn_stacked_trials_match_solo():
+    """The PET CNN bucket path: BatchNorm stats and BOTH traced dropout
+    rates vmap per trial without cross-trial leakage (width-K == width-1),
+    covering the stage-1 search's hardest knobs."""
+    from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import (
+        SmallPETCNN,
+    )
+
+    model = SmallPETCNN(n_classes=3, conv_out=(4, 8), filter_size=(3, 3),
+                        batchnorm=True, linear_out=8)
+    rows = [
+        {"lr": 3e-3, "fl_gamma": None, "dropout_conv_p": 0.0,
+         "dropout_dense_p": 0.0, "trial_seed": 11},
+        {"lr": 1e-3, "fl_gamma": 2, "dropout_conv_p": 0.1,
+         "dropout_dense_p": 0.3, "trial_seed": 22},
+        {"lr": 3e-4, "fl_gamma": None, "dropout_conv_p": 0.0,
+         "dropout_dense_p": 0.4, "trial_seed": 33},
+    ]
+    extra = ("dropout_conv_p", "dropout_dense_p")
+    common = dict(batch_size=8, max_epochs=3, patience=10,
+                  class_weights=CW3, seed=7, apply_fn=_pet_apply)
+    data = (_synthetic_pet(32, 0), _synthetic_pet(16, 1))
+
+    hp_k = vmap_hpo.stack_trial_hparams(rows, extra_keys=extra)
+    _, info_k = vmap_hpo.run_parallel_trials(model, hp_k, *data, **common)
+    # Stack-position independence at the SAME width: identical compiled
+    # program => identical rounding, so this pins zero leakage tightly.
+    hp_r = vmap_hpo.stack_trial_hparams(rows[::-1], extra_keys=extra)
+    _, info_r = vmap_hpo.run_parallel_trials(model, hp_r, *data, **common)
+    np.testing.assert_allclose(info_r["val_history"][:, ::-1],
+                               info_k["val_history"], rtol=2e-5, atol=1e-6)
+    # Width-K vs width-1: same trajectories up to conv-emitter rounding
+    # (different widths lower the 3D convs to different XLA programs, so
+    # exact-f32 agreement is not expected — unlike the MLP case).
+    for i, row in enumerate(rows):
+        hp_1 = vmap_hpo.stack_trial_hparams([row], extra_keys=extra)
+        _, info_1 = vmap_hpo.run_parallel_trials(model, hp_1, *data,
+                                                 **common)
+        np.testing.assert_allclose(info_1["val_history"][:, 0],
+                                   info_k["val_history"][:, i],
+                                   rtol=2e-3, atol=1e-4)
+
+
+def test_pet_traced_dropout_zero_matches_static_none():
+    """Rate 0.0 through the traced conv+dense dropout hooks is bit-exact
+    to the static no-dropout forward (so absent dropout knobs never
+    fragment an HPO bucket)."""
+    from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import (
+        SmallPETCNN,
+    )
+
+    model = SmallPETCNN(n_classes=3, conv_out=(4, 8), filter_size=(3, 3),
+                        batchnorm=True, linear_out=8)
+    batch = {k: jnp.asarray(v) for k, v in _synthetic_pet(8, 5).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out0, _ = model.apply(variables, batch, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          mutable=["batch_stats"],
+                          dropout_conv_rate=jnp.float32(0.0),
+                          dropout_dense_rate=jnp.float32(0.0))
+    ref, _ = model.apply(variables, batch, train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(out0["logits"]),
+                                  np.asarray(ref["logits"]))
+
+    # and a nonzero dense rate actually perturbs the forward
+    outr, _ = model.apply(variables, batch, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          mutable=["batch_stats"],
+                          dropout_conv_rate=jnp.float32(0.0),
+                          dropout_dense_rate=jnp.float32(0.5))
+    assert not np.allclose(np.asarray(outr["logits"]),
+                           np.asarray(ref["logits"]))
+
+
+def test_train_pet_cnn_entrypoint_parallel(tmp_path):
+    """train_pet_cnn.optuna_optimization(parallel=K) end-to-end: buckets
+    by the conv-arch signature, preprocesses the split once, tells every
+    trial a finite-or-inf objective."""
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.pet_models import train_pet_cnn
+
+    # (19,23,17) survives the deepest sampleable conv ladder (4 pools:
+    # 19->9->4->2->1); smaller volumes raise max_pool3d's too-deep guard.
+    write_synthetic_split(str(tmp_path / "data"), n_subjects=(12, 5, 5),
+                          seed=3, volume_shape=(19, 23, 17))
+    old = os.environ.get("MMALZ_DATA_DIR")
+    os.environ["MMALZ_DATA_DIR"] = str(tmp_path / "data")
+    try:
+        study = train_pet_cnn.optuna_optimization(n_trials=3, parallel=3)
+    finally:
+        if old is None:
+            os.environ.pop("MMALZ_DATA_DIR", None)
+        else:
+            os.environ["MMALZ_DATA_DIR"] = old
+    assert len(study.trials) == 3
+    values = [v for v, _ in study.trials]
+    assert all(np.isfinite(v) or v == math.inf for v in values)
+    assert np.isfinite(study.best_value)
+
+
+def _synthetic_mri(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "mri": rng.normal(900, 400, size=(n, 12, 14, 12))
+        .astype(np.float32),
+        "label": rng.integers(0, 3, n).astype(np.int32),
+    }
+
+
+def _mri_apply(model, variables, batch, hp, rng, train):
+    del hp, rng
+    if train:
+        return model.apply(variables, batch, train=True,
+                           mutable=["batch_stats"])
+    return model.apply(variables, batch, train=False), {}
+
+
+def test_anat_cnn_two_group_lr_trials():
+    """The MRI search's lr_select hook: a frozen trial (traced backbone lr
+    0.0) keeps its backbone EXACTLY at init while its head moves; the
+    unfrozen trial in the same program moves both groups."""
+    from multimodal_alzheimer_tpu.models.mri_models.anat_cnn import AnatCNN
+
+    model = AnatCNN(n_classes=3, resnet_depth=10, linear_out=(16,),
+                    freeze_backbone=False)
+    rows = [
+        {"lr": 1e-3, "lr_pretrained": None, "fl_gamma": None,
+         "trial_seed": 1},
+        {"lr": 1e-3, "lr_pretrained": 1e-3, "fl_gamma": None,
+         "trial_seed": 2},
+    ]
+    hp = vmap_hpo.stack_trial_hparams(rows, extra_keys=("lr_pretrained",))
+    np.testing.assert_array_equal(np.asarray(hp["lr_pretrained"]),
+                                  np.float32([0.0, 1e-3]))
+
+    def lr_select(hp_row, keys):
+        return (hp_row["lr"] if keys and keys[0] == "head"
+                else hp_row["lr_pretrained"])
+
+    model_vars = jax.jit(jax.vmap(
+        lambda s: model.init(jax.random.fold_in(jax.random.PRNGKey(7), s),
+                             {k: jnp.asarray(v[:4])
+                              for k, v in _synthetic_mri(4, 0).items()},
+                             train=False)))(hp["trial_seed"])
+    init_params = jax.device_get(model_vars["params"])
+
+    _, info = vmap_hpo.run_parallel_trials(
+        model, hp, _synthetic_mri(16, 0), _synthetic_mri(8, 1),
+        batch_size=4, max_epochs=2, patience=10, class_weights=CW3,
+        seed=7, apply_fn=_mri_apply, lr_select=lr_select,
+        return_state=True)
+    final_params = jax.device_get(info["carry"][0])
+
+    def leaves(tree, top):
+        return [(kp, v) for kp, v in
+                jax.tree_util.tree_flatten_with_path(tree[top])[0]]
+
+    # frozen trial (index 0): backbone bit-identical to init
+    for (kp, f), (_, i0) in zip(leaves(final_params, "backbone"),
+                                leaves(init_params, "backbone")):
+        np.testing.assert_array_equal(f[0], i0[0], err_msg=str(kp))
+    # both trials' heads moved; unfrozen trial's backbone moved
+    head_moved = any(
+        not np.array_equal(f[0], i0[0]) for (_, f), (_, i0) in
+        zip(leaves(final_params, "head"), leaves(init_params, "head")))
+    assert head_moved
+    bb_moved = any(
+        not np.array_equal(f[1], i0[1]) for (_, f), (_, i0) in
+        zip(leaves(final_params, "backbone"),
+            leaves(init_params, "backbone")))
+    assert bb_moved
+
+
+def test_train_anat_cnn_entrypoint_parallel(tmp_path):
+    """train_anat_cnn.optuna_optimization(parallel=K) end-to-end: buckets
+    by (depth, head shape, batchnorm flags, batch size, norm_percentile),
+    per-bucket quantile min-max normalization of the raw split, frozen
+    and unfrozen proposals in one program via lr_select."""
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.mri_models import train_anat_cnn
+
+    write_synthetic_split(str(tmp_path / "data"), n_subjects=(12, 5, 5),
+                          seed=4, volume_shape=(12, 14, 12))
+    old = os.environ.get("MMALZ_DATA_DIR")
+    os.environ["MMALZ_DATA_DIR"] = str(tmp_path / "data")
+    try:
+        study = train_anat_cnn.optuna_optimization(n_trials=2, parallel=2)
+    finally:
+        if old is None:
+            os.environ.pop("MMALZ_DATA_DIR", None)
+        else:
+            os.environ["MMALZ_DATA_DIR"] = old
+    assert len(study.trials) == 2
+    values = [v for v, _ in study.trials]
+    assert all(np.isfinite(v) or v == math.inf for v in values)
+    assert np.isfinite(study.best_value)
+
+
 def test_train_tabular_entrypoint_parallel(tmp_path):
     """optuna_optimization(parallel=K) end-to-end on the synthetic split:
     buckets by (batch_size, hidden), runs the vmapped trainer, tells every

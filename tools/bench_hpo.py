@@ -275,6 +275,86 @@ def _stage3_bench(args):
     }))
 
 
+def _pet_bench(args):
+    """Stage-1 PET CNN HPO: K full-model trials in one vmapped program.
+
+    Unlike the fusion modes there is nothing trial-invariant to share —
+    every trial trains its whole conv ladder — so the win here is pure
+    arithmetic-intensity batching: K per-trial (B, 91^3) conv steps fuse
+    into one K-fold-wider program. Traced per-trial knobs: lr, focal
+    gamma, both dropout rates (train_pet_cnn.optuna_optimization
+    parallel=K path).
+    """
+    from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import (
+        SmallPETCNN,
+    )
+
+    shape = (91, 109, 91)
+    model = SmallPETCNN(n_classes=3, conv_out=(8, 16, 32, 64),
+                        filter_size=(5, 5, 3, 3), linear_out=64)
+
+    def vol_data(n, seed):
+        r = np.random.default_rng(seed)
+        return {
+            "pet1451": (r.normal(size=(n,) + shape) * 0.5 + 0.5)
+            .astype(np.float32),
+            "label": r.integers(0, 3, n).astype(np.int32),
+        }
+
+    train_data = vol_data(args.n, 10)
+    val_data = vol_data(max(args.batch, args.n // 4), 11)
+    rows = _trial_rows(args.k)
+    for row in rows:
+        row["dropout_conv_p"] = 0.1
+        row["dropout_dense_p"] = row.pop("dropout_p")
+    cw = np.array([0.55, 0.75, 0.7], np.float32)
+
+    def apply_fn(model, variables, batch, hp, rng, train):
+        if train:
+            return model.apply(variables, batch, train=True,
+                               rngs={"dropout": rng},
+                               mutable=["batch_stats"],
+                               dropout_conv_rate=hp["dropout_conv_p"],
+                               dropout_dense_rate=hp["dropout_dense_p"])
+        return model.apply(variables, batch, train=False), {}
+
+    def run(row_subset):
+        hp = vmap_hpo.stack_trial_hparams(
+            row_subset, extra_keys=("dropout_conv_p", "dropout_dense_p"))
+        return vmap_hpo.run_parallel_trials(
+            model, hp, train_data, val_data, batch_size=args.batch,
+            max_epochs=args.epochs, patience=10 ** 9, class_weights=cw,
+            seed=5, apply_fn=apply_fn)
+
+    def timed(fn):
+        fn()
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    t_vmap = timed(lambda: run(rows))
+    t_seq = timed(lambda: [run([row]) for row in rows])
+
+    vmap_tps, seq_tps = args.k / t_vmap, args.k / t_seq
+    speedup = t_seq / t_vmap
+    print(f"pet vmapped width-{args.k}: {t_vmap:.2f}s = "
+          f"{vmap_tps:.3f} trials/s ({args.epochs} epochs, n={args.n}, "
+          f"b={args.batch}, 91^3 full-model trials)", file=sys.stderr)
+    print(f"pet sequential width-1 x{args.k}: {t_seq:.2f}s = "
+          f"{seq_tps:.3f} trials/s", file=sys.stderr)
+    print(f"speedup: {speedup:.1f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": "pet_hpo_trials_per_s_vmapped",
+        "value": round(vmap_tps, 4),
+        "unit": "trials/s",
+        "k": args.k,
+        "epochs": args.epochs,
+        "sequential_trials_per_s": round(seq_tps, 4),
+        "speedup_vs_sequential": round(speedup, 2),
+        "device": jax.devices()[0].device_kind,
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--k", type=int, default=16)
@@ -287,12 +367,18 @@ def main():
     parser.add_argument("--stage3", action="store_true",
                         help="stage-3 frozen HPO workload (shared stage-2 "
                              "sub-model pass + K vmapped stage-3 heads)")
+    parser.add_argument("--pet", action="store_true",
+                        help="stage-1 PET CNN full-model trial batching "
+                             "(use --k 4 --n 192 --batch 16 --epochs 3)")
     args = parser.parse_args()
     if args.fusion:
         _fusion_bench(args)
         return
     if args.stage3:
         _stage3_bench(args)
+        return
+    if args.pet:
+        _pet_bench(args)
         return
 
     model = TabularMLP(n_classes=3, hidden=(256, 1024))
