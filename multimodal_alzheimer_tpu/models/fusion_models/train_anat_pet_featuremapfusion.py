@@ -106,8 +106,67 @@ def _objective(trial):
     return train(sample_hparams(trial), EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """HPO entry point. ``parallel=K`` vectorizes full-model trials
+    (train/vmap_hpo.py): every fusion-tower knob in this space is a
+    static arch choice, so the signature carries them all and only
+    lr/fl_gamma trace per trial; both normalizations are fixed constants,
+    applied once over the split.
+    """
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        import jax
+
+        from multimodal_alzheimer_tpu.train import vmap_hpo
+        from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
+
+        base = {"n_classes": 2}
+        trainset, valset = build_datasets(
+            base, ["pet1451", "t1w"],
+            normalize_pet={"mean": 0.5145, "std": 0.5383},
+            normalize_mri={"all_scan_norm": MRI_ALL_SCAN_STATS[2]})
+        attach_class_weights(base, trainset)
+        pre = jax.jit(trainset.get_device_preprocess())
+        train_data = pre(full_arrays(trainset))
+        val_data = pre(full_arrays(valset))
+
+        def signature(hparams):
+            return (tuple(hparams["conv_out"]),
+                    tuple(hparams["filter_size"]),
+                    hparams["fusion_mode"],
+                    int(hparams["n_out_fusion"]),
+                    int(hparams["filter_size_fusion"]),
+                    bool(hparams["batchnorm"]),
+                    bool(hparams["batchnorm_fusion"]),
+                    int(hparams["batch_size"]),
+                    int(hparams["max_epochs"]),
+                    int(hparams["early_stopping_patience"]))
+
+        def apply_fn(model, variables, batch, hp, rng, train):
+            del hp, rng  # no traced model knobs in this space
+            if train:
+                return model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+            return model.apply(variables, batch, train=False), {}
+
+        def batch_objective(sig, rows):
+            model = PETMRIFeatureMapFusion.from_hparams(
+                dict(base, **rows[0]))
+            hp = vmap_hpo.stack_trial_hparams(rows, pad_to=parallel)
+            values, _ = vmap_hpo.run_parallel_trials(
+                model, hp, train_data, val_data,
+                batch_size=int(rows[0]["batch_size"]),
+                max_epochs=int(rows[0]["max_epochs"]),
+                patience=int(rows[0]["early_stopping_patience"]),
+                class_weights=base["loss_class_weights"], seed=SEED,
+                apply_fn=apply_fn)
+            return [float(v) for v in values[:len(rows)]]
+
+        vmap_hpo.optimize_batched(study, sample_hparams, batch_objective,
+                                  n_trials=n_trials, parallel=parallel,
+                                  signature_fn=signature, timeout=timeout)
+        return study
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

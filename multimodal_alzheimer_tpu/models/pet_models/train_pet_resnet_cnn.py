@@ -87,8 +87,69 @@ def _objective(trial):
     return train(sample_hparams(trial), EXPERIMENT_NAME, EXPERIMENT_VERSION)
 
 
-def optuna_optimization(n_trials: int = 300, timeout: float = 86400):
+def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
+                        parallel: int = 0):
+    """HPO entry point. ``parallel=K`` switches to the vectorized searcher
+    — the MRI wiring (train_anat_cnn.py) with the PET z-score constants:
+    static signature (depth, dense block, batchnorm flags, batch size +
+    epoch bump), traced lr/l2/gamma, and the two-group ``lr_select``
+    (head at lr, backbone at lr_pretrained / 0.0 frozen); the split is
+    preprocessed once (fixed normalization constants).
+    """
     study = hpo.create_study(direction="minimize")
+    if parallel and parallel > 1:
+        import jax
+
+        from multimodal_alzheimer_tpu.train import vmap_hpo
+        from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
+
+        base = {"n_classes": 2}
+        trainset, valset = build_datasets(
+            base, ["pet1451"],
+            normalize_pet={"mean": 0.5145, "std": 0.5383})
+        attach_class_weights(base, trainset)
+        pre = jax.jit(trainset.get_device_preprocess())
+        train_data = pre(full_arrays(trainset))
+        val_data = pre(full_arrays(valset))
+
+        def signature(hparams):
+            return (int(hparams["resnet_depth"]),
+                    tuple(hparams["linear_out"]),
+                    bool(hparams["batchnorm_begin"]),
+                    bool(hparams["batchnorm_dense"]),
+                    int(hparams["batch_size"]),
+                    int(hparams["max_epochs"]),
+                    int(hparams["early_stopping_patience"]))
+
+        def lr_select(hp_row, keys):
+            return (hp_row["lr"] if keys and keys[0] == "head"
+                    else hp_row["lr_pretrained"])
+
+        def apply_fn(model, variables, batch, hp, rng, train):
+            del hp, rng  # no traced model knobs in this space
+            if train:
+                return model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+            return model.apply(variables, batch, train=False), {}
+
+        def batch_objective(sig, rows):
+            model = PETResNetCNN.from_hparams(dict(base, **rows[0]),
+                                              freeze_backbone=False)
+            hp = vmap_hpo.stack_trial_hparams(rows, pad_to=parallel,
+                                              extra_keys=("lr_pretrained",))
+            values, _ = vmap_hpo.run_parallel_trials(
+                model, hp, train_data, val_data,
+                batch_size=int(rows[0]["batch_size"]),
+                max_epochs=int(rows[0]["max_epochs"]),
+                patience=int(rows[0]["early_stopping_patience"]),
+                class_weights=base["loss_class_weights"], seed=SEED,
+                apply_fn=apply_fn, lr_select=lr_select)
+            return [float(v) for v in values[:len(rows)]]
+
+        vmap_hpo.optimize_batched(study, sample_hparams, batch_objective,
+                                  n_trials=n_trials, parallel=parallel,
+                                  signature_fn=signature, timeout=timeout)
+        return study
     study.optimize(_objective, n_trials=n_trials, timeout=timeout)
     return study
 

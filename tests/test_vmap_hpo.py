@@ -475,6 +475,61 @@ def test_train_anat_cnn_entrypoint_parallel(tmp_path):
     assert np.isfinite(study.best_value)
 
 
+def test_train_pet_resnet_entrypoint_parallel(tmp_path):
+    """train_pet_resnet_cnn.optuna_optimization(parallel=K): the MRI
+    wiring consuming PET volumes (two-group lr_select, fixed z-score
+    preprocessing applied once)."""
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.pet_models import (
+        train_pet_resnet_cnn,
+    )
+
+    write_synthetic_split(str(tmp_path / "data"), n_subjects=(12, 8, 4),
+                          seed=4, volume_shape=(12, 14, 12))
+    old = os.environ.get("MMALZ_DATA_DIR")
+    os.environ["MMALZ_DATA_DIR"] = str(tmp_path / "data")
+    try:
+        study = train_pet_resnet_cnn.optuna_optimization(n_trials=2,
+                                                         parallel=2)
+    finally:
+        if old is None:
+            os.environ.pop("MMALZ_DATA_DIR", None)
+        else:
+            os.environ["MMALZ_DATA_DIR"] = old
+    assert len(study.trials) == 2
+    values = [v for v, _ in study.trials]
+    assert all(np.isfinite(v) or v == math.inf for v in values)
+    assert np.isfinite(study.best_value)
+
+
+def test_train_featuremap_entrypoint_parallel(tmp_path):
+    """train_anat_pet_featuremapfusion.optuna_optimization(parallel=K):
+    full-model two-tower trials, every fusion knob in the signature."""
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.fusion_models import (
+        train_anat_pet_featuremapfusion,
+    )
+
+    # (19,23,17) survives the deepest sampleable ladder; seed 6 keeps the
+    # 2-class (MCI-dropped) PET+MRI val pairing non-empty.
+    write_synthetic_split(str(tmp_path / "data"), n_subjects=(12, 8, 4),
+                          seed=6, volume_shape=(19, 23, 17))
+    old = os.environ.get("MMALZ_DATA_DIR")
+    os.environ["MMALZ_DATA_DIR"] = str(tmp_path / "data")
+    try:
+        study = train_anat_pet_featuremapfusion.optuna_optimization(
+            n_trials=2, parallel=2)
+    finally:
+        if old is None:
+            os.environ.pop("MMALZ_DATA_DIR", None)
+        else:
+            os.environ["MMALZ_DATA_DIR"] = old
+    assert len(study.trials) == 2
+    values = [v for v, _ in study.trials]
+    assert all(np.isfinite(v) or v == math.inf for v in values)
+    assert np.isfinite(study.best_value)
+
+
 def test_train_tabular_entrypoint_parallel(tmp_path):
     """optuna_optimization(parallel=K) end-to-end on the synthetic split:
     buckets by (batch_size, hidden), runs the vmapped trainer, tells every
