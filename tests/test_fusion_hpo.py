@@ -125,6 +125,31 @@ def test_shared_tower_trials_match_full_model(kind):
                                rtol=2e-5, atol=1e-6)
 
 
+def test_shared_tower_trials_mesh_matches_single_device():
+    """Trial parallelism for the fusion searches: sharding the vmapped
+    head-trial axis over the 8-device mesh (shared tower forward
+    replicated, one head trial per device) must reproduce the unsharded
+    run — multi-chip evidence for the shared-forward HPO path."""
+    from multimodal_alzheimer_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    head, tower_models, tower_vars, _ = _fusion_case("anat_pet")
+    train_data, val_data = _data(24, 3), _data(12, 4)
+    rows = [dict(ROWS[i % 2], trial_seed=50 + i) for i in range(8)]
+    hp = vmap_hpo.stack_trial_hparams(rows)
+    common = dict(batch_size=4, max_epochs=2, patience=10,
+                  class_weights=CW, seed=9)
+
+    _, plain = fusion_hpo.run_frozen_fusion_trials(
+        head, tower_models, tower_vars, hp, train_data, val_data, **common)
+    _, sharded = fusion_hpo.run_frozen_fusion_trials(
+        head, tower_models, tower_vars, hp, train_data, val_data,
+        mesh=make_mesh(8), **common)
+    np.testing.assert_allclose(sharded["val_history"],
+                               plain["val_history"], rtol=2e-5, atol=1e-6)
+
+
 def test_stage3_shared_trials_match_full_model():
     """Stage-3: K vmapped stage3out/cls3 heads over ONE shared pass
     through the three frozen stage-2 sub-models must trace the same
