@@ -496,6 +496,241 @@ def fold_anat_cnn(model, variables: dict, preprocess=None,
     return serve_fn, folded
 
 
+# --------------------------------------------------------------------------
+# PET conv tower (SmallPETCNN) quantization
+# --------------------------------------------------------------------------
+#
+# The PET family (models/pet_models/pet_cnn.py) is n x (conv 'same' ->
+# [BN] -> ReLU -> MaxPool(2)) -> GAP -> f32 head. Serving reuses the
+# training path's parity decomposition (models/layers.py:S2DConvReLUPool)
+# for the small-channel blocks — XLA has no efficient emitter for
+# small-C_in stride-1 3D convs in int8 either — with the conv run on the
+# MXU's 2x int8 mode. BN blocks fold exactly (conv bias included) and
+# take the plain conv -> relu -> int8-pool form. The head (GAP + two
+# Dense) is <0.1% of FLOPs and stays f32, preserving the 'gap'/'dense'
+# embedding taps the stage-2 fusions consume (anat_pet_fusion.py:27-34).
+
+
+def _pool2_f32(x):
+    """MaxPool3d(2) floor semantics (layers.max_pool3d VALID window)."""
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 2, 1),
+                             (1, 2, 2, 2, 1), "VALID")
+
+
+def _pool2_int8(q):
+    return lax.reduce_window(q, jnp.int8(-128), lax.max, (1, 2, 2, 2, 1),
+                             (1, 2, 2, 2, 1), "VALID")
+
+
+def _pool2(ctx, x):
+    return _pool2_int8(x) if isinstance(ctx, _Int8Ctx) else _pool2_f32(x)
+
+
+def _s2d_pool_kernel(w):
+    """(k,k,k,cin,F) kernel -> (3,3,3,8cin,8F) parity-gathered layout.
+
+    Mirrors models/layers.py:S2DConvReLUPool exactly (zero taps stay
+    exact zeros, so the transform commutes with symmetric int8
+    quantization — gather the already-quantized kernel)."""
+    from multimodal_alzheimer_tpu.models.layers import _s2d_flat_index
+
+    k, _, _, cin, f = w.shape
+    wf = w.reshape(k ** 3, cin, f)
+    wf = jnp.concatenate([wf, jnp.zeros((1, cin, f), w.dtype)], axis=0)
+    gathered = wf[_s2d_flat_index(k)]          # (3,3,3, 8s, 8r, cin, F)
+    return gathered.transpose(0, 1, 2, 3, 5, 4, 6).reshape(
+        3, 3, 3, 8 * cin, 8 * f)
+
+
+def _s2d_pool_input(x):
+    """Pad-to-even + 2x2x2 space-to-depth (s-major, cin-minor); exact on
+    int8 (symmetric zero point) and f32 alike. Returns the transformed
+    tensor and the original spatial dims for the output slice."""
+    b, d, h, w, cin = x.shape
+    if min(d, h, w) < 2:
+        raise ValueError(
+            f"PET tower too deep for spatial dims {(d, h, w)}")
+    dp, hp, wp = d + d % 2, h + h % 2, w + w % 2
+    xe = jnp.pad(x, ((0, 0), (0, dp - d), (0, hp - h), (0, wp - w),
+                     (0, 0)))
+    X = xe.reshape(b, dp // 2, 2, hp // 2, 2, wp // 2, 2, cin)
+    X = X.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, dp // 2, hp // 2, wp // 2, 8 * cin)
+    return X, (d, h, w)
+
+
+def _pet_block_specs(model, variables):
+    """Per-block serving plan. ``fused`` uses the parity decomposition —
+    eligible whenever the training path would be (odd kernel, no BN,
+    C_in <= 8, layers.ConvBlock3D's measured crossover); it is exact, so
+    serving applies it regardless of the model's ``s2d_pool`` training
+    knob."""
+    specs = []
+    params = variables["params"]["convs"]
+    for i, (f, k) in enumerate(zip(model.conv_out, model.filter_size)):
+        name = f"block_{i}"
+        cin = int(params[name]["conv"]["kernel"].shape[3])
+        fused = (not model.batchnorm) and k % 2 == 1 and cin <= 8
+        specs.append({"name": name, "features": int(f), "k": int(k),
+                      "cin": cin, "fused": fused})
+    return specs
+
+
+def _fold_conv_bn(conv_p: dict, bn_p: dict, bn_s: dict, eps: float = _EPS):
+    """conv(+bias) -> BN(eval) == conv(folded kernel) + folded bias."""
+    g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+    bias = bn_p["bias"] + g * (conv_p.get("bias", 0.0) - bn_s["mean"])
+    return {"w": conv_p["kernel"] * g, "bias": bias}
+
+
+def fold_pet_tower(model, variables: dict, specs=None) -> dict:
+    """Every PET conv block -> canonical {'w', 'bias'} f32 entries (BN
+    folded where present — exact algebra)."""
+    specs = specs or _pet_block_specs(model, variables)
+    params = variables["params"]["convs"]
+    stats = variables.get("batch_stats", {}).get("convs", {})
+    folded = {}
+    for sp in specs:
+        p = params[sp["name"]]
+        if "bn" in p:
+            folded[sp["name"]] = _fold_conv_bn(p["conv"], p["bn"],
+                                               stats[sp["name"]]["bn"])
+        else:
+            folded[sp["name"]] = {"w": p["conv"]["kernel"],
+                                  "bias": p["conv"]["bias"]}
+    return folded
+
+
+def _pet_calib_tree(folded: dict, specs) -> dict:
+    """Fused blocks get the gathered (3,3,3,8cin,8F) kernel + r-tiled
+    bias so calibration runs the same graph shape the int8 serve will."""
+    tree = {}
+    for sp in specs:
+        e = folded[sp["name"]]
+        if sp["fused"]:
+            tree[sp["name"]] = {"w": _s2d_pool_kernel(e["w"]),
+                                "bias": jnp.tile(e["bias"], 8)}
+        else:
+            tree[sp["name"]] = e
+    return tree
+
+
+def _quantize_fused_kernel(entry, in_scale: float):
+    """Per-out-channel int8 of the canonical (k,k,k,cin,F) kernel, THEN
+    the parity gather (zero taps stay exact int8 zeros). The 8F epilogue
+    channels are r-major, so scales/bias tile per output parity."""
+    w = entry["w"]
+    sw = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
+    sw = jnp.maximum(sw, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    return {"wq": _s2d_pool_kernel(wq),
+            "scale": (jnp.tile(sw, 8) * in_scale).astype(jnp.float32),
+            "bias": jnp.tile(entry["bias"], 8).astype(jnp.float32)}
+
+
+def _pet_tower_forward(tree, x, ctx, specs):
+    """(B,D,H,W,C) -> (B,d,h,w,F_last) f32 feature map; one graph for
+    calibration (f32) and serving (int8), requant sites named alike.
+
+    int32 accumulator safety: the largest contraction is 27 taps x
+    8*C_in(<=64) x 127^2 < 2^25."""
+    carrier = ctx.requant("in", x)
+    last = len(specs) - 1
+    for i, sp in enumerate(specs):
+        blk = tree[sp["name"]]
+        with jax.named_scope(sp["name"]):
+            if sp["fused"]:
+                X, (d, h, w) = _s2d_pool_input(carrier)
+                y = jax.nn.relu(ctx.conv(blk, X, 1, 1, pad="SAME"))
+                y = y.reshape(y.shape[:4] + (8, sp["features"]))
+                y = jnp.max(y, axis=4)[:, :d // 2, :h // 2, :w // 2, :]
+                if i == last:
+                    return y
+                carrier = ctx.requant(f"{sp['name']}/out", y)
+            else:
+                y = jax.nn.relu(ctx.conv(blk, carrier, 1, 1, pad="SAME"))
+                if i == last:
+                    return _pool2_f32(y)
+                # absmax pre-pool == post-pool for the kept windows; the
+                # int8 pool then commutes with the requant (exact).
+                carrier = _pool2(ctx, ctx.requant(f"{sp['name']}/out", y))
+    raise AssertionError("unreachable")
+
+
+def quantize_pet_cnn(model, variables: dict, calib_batches,
+                     preprocess=None):
+    """(SmallPETCNN, trained variables) -> (serve_fn, qtree).
+
+    Same contract as ``quantize_anat_cnn``: ``serve_fn(batch)`` returns
+    {'logits', 'probs', 'embeddings'} with the 'gap'/'dense' taps the
+    stage-2 fusions cut on (reference anat_pet_fusion.py:28-31); conv
+    blocks run int8 on the MXU's 2x mode, the GAP + Dense head in f32.
+
+    MEASURED VERDICT (v5e, batch 128, 91^3, tools/bench_serving.py
+    --int8): int8 LOSES on this tower — 6225 vol/s vs 7276 bf16 (and
+    3-stage fusion with both imaging towers int8: 1846 vs 1862 with the
+    int8 MRI tower alone). The PET tower's convs are small-contraction
+    (<=27 taps x 64 ch) and relayout/bandwidth-bound, so the MXU's 2x
+    int8 peak never engages while the f32->int8 requant passes add HBM
+    traffic. Kept as a tested option (drift argmax 1.0, prob err 3e-3);
+    production serving uses the bf16 fused-s2d float path and
+    ``quantize_pet=False`` (the default) in the fusion quantizers. int8
+    wins only where the tower is MXU-bound (the ResNet backbones:
+    1894 vs 1014 on the flagship).
+    """
+    specs = _pet_block_specs(model, variables)
+    folded = fold_pet_tower(model, variables, specs)
+
+    def _vol(batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
+        x = batch[model.input_key]
+        if x.ndim == 4:
+            x = x[..., None]
+        return x.astype(jnp.float32)
+
+    calib_tree = _pet_calib_tree(folded, specs)
+
+    @jax.jit
+    def one(x):
+        ctx = _CalibCtx()
+        _pet_tower_forward(calib_tree, x, ctx, specs)
+        return ctx.absmax
+
+    absmax: Dict[str, float] = {}
+    for b in calib_batches:
+        out = jax.device_get(one(_vol(b)))
+        for k, v in out.items():
+            absmax[k] = max(absmax.get(k, 0.0), float(v))
+    scales = {k: max(v, 1e-12) / 127.0 for k, v in absmax.items()}
+
+    qtree: dict = {"scales": scales, "specs": specs}
+    site = "in"
+    for sp in specs:
+        quantizer = (_quantize_fused_kernel if sp["fused"]
+                     else _quantize_kernel)
+        qtree[sp["name"]] = quantizer(folded[sp["name"]], scales[site])
+        site = f"{sp['name']}/out"
+
+    p = variables["params"]
+
+    def serve_fn(batch):
+        fmap = _pet_tower_forward(qtree, _vol(batch), _Int8Ctx(scales),
+                                  specs)
+        h = jnp.mean(fmap, axis=(1, 2, 3))  # GAP (dropout is eval no-op)
+        embeddings = {"gap": h}
+        if model.linear_out:
+            h = jax.nn.relu(h @ p["hidden"]["kernel"]
+                            + p["hidden"]["bias"])
+            embeddings["dense"] = h
+        logits = h @ p["cls"]["kernel"] + p["cls"]["bias"]
+        return {"logits": logits.astype(jnp.float32),
+                "probs": jax.nn.softmax(logits.astype(jnp.float32), -1),
+                "embeddings": embeddings}
+
+    return serve_fn, qtree
+
+
 def _quantize_tower(mri_model, tower_vars: dict, pre_batches):
     """Quantize one AnatCNN tower given its variable subtree and already-
     preprocessed calibration batches; returns (serve_mri, qtree)."""
@@ -503,22 +738,29 @@ def _quantize_tower(mri_model, tower_vars: dict, pre_batches):
                              preprocess=None)
 
 
-def _fusion_serve_with_mri(fusion, variables, serve_mri, preprocess):
-    """Serve a fusion with an externally-computed MRI tower (int8 or
-    BN-folded) fed through the ``towers`` hook; the partner towers and
-    fusion heads stay in the model dtype."""
+def _fusion_serve_with_towers(fusion, variables, serves: dict, preprocess):
+    """Serve a fusion with externally-computed stage-1 towers (int8 or
+    BN-folded) fed through the ``towers`` hook (keys 'mri'/'pet'); the
+    remaining towers and fusion heads stay in the model dtype."""
 
     def serve_fn(batch):
         pre = dict(preprocess(batch)) if preprocess is not None else batch
-        mri_out = serve_mri(pre)
-        towers = {"mri": {"logits": mri_out["logits"],
-                          "embeddings": mri_out["embeddings"]}}
+        towers = {}
+        for key, fn in serves.items():
+            out = fn(pre)
+            towers[key] = {"logits": out["logits"],
+                           "embeddings": out["embeddings"]}
         out = fusion.apply(variables, pre, train=False, towers=towers)
         return {"logits": out["logits"],
                 "probs": jax.nn.softmax(out["logits"], axis=-1),
                 "embeddings": out["embeddings"]}
 
     return serve_fn
+
+
+def _fusion_serve_with_mri(fusion, variables, serve_mri, preprocess):
+    return _fusion_serve_with_towers(fusion, variables, {"mri": serve_mri},
+                                     preprocess)
 
 
 def _stage2_mri_vars(fusion, variables):
@@ -532,6 +774,28 @@ def _stage3_mri_vars(fusion, variables):
         "batch_stats":
             variables["batch_stats"]["model_anat_pet"]["mri_model"],
     }
+
+
+def _sub_vars(variables: dict, *path):
+    """Variable subtree for a nested submodule; batch_stats only when the
+    submodule has any (the default SmallPETCNN is BN-free)."""
+    out = {"params": variables["params"]}
+    stats = variables.get("batch_stats", {})
+    for name in path:
+        out["params"] = out["params"][name]
+        stats = stats.get(name, {}) if isinstance(stats, dict) else {}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def _quantized_pet_serve(fusion, variables, pre_batches, *, stage3: bool):
+    pet_path = (("model_anat_pet", "pet_model") if stage3
+                else ("pet_model",))
+    pet_model = (fusion.model_anat_pet.pet_model if stage3
+                 else fusion.pet_model)
+    return quantize_pet_cnn(pet_model, _sub_vars(variables, *pet_path),
+                            pre_batches)
 
 
 def fold_mri_fusion(fusion, variables: dict, preprocess=None,
@@ -558,7 +822,7 @@ def fold_all_modalities_fusion(fusion, variables: dict, preprocess=None,
 
 
 def quantize_mri_fusion(fusion, variables: dict, calib_batches,
-                        preprocess=None):
+                        preprocess=None, quantize_pet: bool = False):
     """int8 MRI tower for a stage-2 fusion (AnatPETFusion /
     TabularMRIFusion — any fusion whose ``__call__`` accepts
     ``towers={'mri': ...}`` and owns an ``mri_model`` submodule).
@@ -566,17 +830,27 @@ def quantize_mri_fusion(fusion, variables: dict, calib_batches,
     The quantized tower's output dict enters through the ``towers``
     hook, so the float MRI forward is never traced; the partner tower
     (PET / tabular) and the fusion head stay in the model dtype.
+    ``quantize_pet=True`` additionally replaces a SmallPETCNN partner
+    tower with its int8 serve (``quantize_pet_cnn``).
     """
     pre_batches = ([dict(preprocess(b)) for b in calib_batches]
                    if preprocess is not None else list(calib_batches))
     serve_mri, qtree = _quantize_tower(
         fusion.mri_model, _stage2_mri_vars(fusion, variables), pre_batches)
-    return (_fusion_serve_with_mri(fusion, variables, serve_mri,
-                                   preprocess), qtree)
+    serves = {"mri": serve_mri}
+    if quantize_pet:
+        if not hasattr(fusion, "pet_model"):
+            raise ValueError("quantize_pet: fusion has no pet_model tower")
+        serves["pet"], pet_q = _quantized_pet_serve(
+            fusion, variables, pre_batches, stage3=False)
+        qtree = {"mri": qtree, "pet": pet_q}
+    return (_fusion_serve_with_towers(fusion, variables, serves,
+                                      preprocess), qtree)
 
 
 def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
-                                   preprocess=None):
+                                   preprocess=None,
+                                   quantize_pet: bool = False):
     """int8 serving for the 3-stage fusion: quantized MRI backbone fed to
     every consumer through the shared-tower path.
 
@@ -585,18 +859,25 @@ def quantize_all_modalities_fusion(fusion, variables: dict, calib_batches,
     forward reads — all_modalities_fusion.py) is replaced by the int8
     backbone + f32 head, and its output dict enters the fusion graph via
     the external-``towers`` hook, so the float MRI tower is never traced.
-    PET/tabular towers and all fusion heads stay in the model dtype.
+    ``quantize_pet=True`` does the same for the shared PET tower
+    (``model_anat_pet.pet_model``) via ``quantize_pet_cnn``. Remaining
+    towers and all fusion heads stay in the model dtype.
     Requires the frozen shared-tower regime (``share_towers=True`` — the
-    reference's default), which also guarantees the duplicate MRI copy
-    in model_anat_tab holds identical weights.
+    reference's default), which also guarantees the duplicate tower
+    copies in the sibling sub-models hold identical weights.
     """
     pre_batches = ([dict(preprocess(b)) for b in calib_batches]
                    if preprocess is not None else list(calib_batches))
     serve_mri, qtree = _quantize_tower(
         fusion.model_anat_pet.mri_model,
         _stage3_mri_vars(fusion, variables), pre_batches)
-    return (_fusion_serve_with_mri(fusion, variables, serve_mri,
-                                   preprocess), qtree)
+    serves = {"mri": serve_mri}
+    if quantize_pet:
+        serves["pet"], pet_q = _quantized_pet_serve(
+            fusion, variables, pre_batches, stage3=True)
+        qtree = {"mri": qtree, "pet": pet_q}
+    return (_fusion_serve_with_towers(fusion, variables, serves,
+                                      preprocess), qtree)
 
 
 def quantization_error(model, variables, serve_fn, batch,

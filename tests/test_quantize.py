@@ -381,6 +381,139 @@ def test_folded_fusion_serves():
     assert err2["prob_max_abs_err"] < 1e-3, err2
 
 
+def _pet_model_and_batch(hparams=None, seed=20, spatial=(17, 18, 16),
+                         init_seed=0):
+    from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import (
+        SmallPETCNN,
+    )
+
+    hp = {"n_classes": 3, "conv_out": (4, 16, 32),
+          "filter_size": (5, 3, 3), "linear_out": 8}
+    hp.update(hparams or {})
+    model = SmallPETCNN.from_hparams(hp)
+    rng = np.random.default_rng(seed)
+    batch = {"pet1451": jnp.asarray(
+        rng.normal(0.5, 0.5, (2,) + spatial).astype(np.float32))}
+    variables = model.init(jax.random.PRNGKey(init_seed), batch,
+                           train=False)
+    return model, variables, batch
+
+
+def test_pet_calib_graph_matches_float():
+    """The calibration (folded f32) PET tower graph — parity-decomposed
+    fused blocks included — reproduces the float model's eval logits
+    (same algebra as tests/test_s2d_pool.py, here through the quantizer's
+    own traversal). Covers fused (cin 1, 4) AND naive (cin 16) blocks
+    plus the odd-extent padding path."""
+    model, variables, batch = _pet_model_and_batch()
+    specs = Q._pet_block_specs(model, variables)
+    assert [sp["fused"] for sp in specs] == [True, True, False]
+    tree = Q._pet_calib_tree(Q.fold_pet_tower(model, variables, specs),
+                             specs)
+    ctx = Q._CalibCtx()
+    fmap = Q._pet_tower_forward(tree, batch["pet1451"][..., None], ctx,
+                                specs)
+    p = variables["params"]
+    h = jnp.mean(fmap, axis=(1, 2, 3))
+    h = jax.nn.relu(h @ p["hidden"]["kernel"] + p["hidden"]["bias"])
+    logits = h @ p["cls"]["kernel"] + p["cls"]["bias"]
+    ref = model.apply(variables, batch, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_int8_pet_cnn_drift_bounded():
+    model, variables, batch = _pet_model_and_batch()
+    serve, qtree = Q.quantize_pet_cnn(model, variables, [batch])
+    err = Q.quantization_error(model, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+    out = serve(batch)
+    assert set(out) == {"logits", "probs", "embeddings"}
+    assert set(out["embeddings"]) == {"gap", "dense"}
+    assert out["embeddings"]["gap"].shape == (2, 32)
+    assert out["embeddings"]["dense"].shape == (2, 8)
+
+
+def test_int8_pet_cnn_bn_folds():
+    """batchnorm=True PET towers: every block takes the naive conv path
+    with the conv bias + BN folded exactly."""
+    model, variables, batch = _pet_model_and_batch(
+        {"conv_out": (4, 8), "filter_size": (5, 3), "batchnorm": True})
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * jnp.abs(
+            jax.random.normal(jax.random.PRNGKey(1), a.shape)),
+        variables["batch_stats"])
+    specs = Q._pet_block_specs(model, variables)
+    assert not any(sp["fused"] for sp in specs)
+    serve, _ = Q.quantize_pet_cnn(model, variables, [batch])
+    err = Q.quantization_error(model, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+
+
+def test_int8_pet_cnn_no_hidden_linear():
+    """linear_out=0 (the 2-class GAP-cut family): head is a single
+    Dense, embeddings carry only 'gap'."""
+    model, variables, batch = _pet_model_and_batch(
+        {"n_classes": 2, "linear_out": 0})
+    serve, _ = Q.quantize_pet_cnn(model, variables, [batch])
+    out = serve(batch)
+    assert set(out["embeddings"]) == {"gap"}
+    err = Q.quantization_error(model, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+
+
+def test_int8_fusion_serve_both_towers():
+    """quantize_pet=True swaps the shared PET tower for its int8 serve
+    alongside the MRI one — stage-3 and stage-2 drift stays bounded; a
+    PET-less fusion rejects the flag."""
+    fusion, variables, batch = _fusion_and_batch()
+    serve, qtree = Q.quantize_all_modalities_fusion(
+        fusion, variables, [batch], quantize_pet=True)
+    assert set(qtree) == {"mri", "pet"}
+    err = Q.quantization_error(fusion, variables, serve, batch)
+    assert err["argmax_agree"] == 1.0, err
+    assert err["prob_max_abs_err"] < 0.01, err
+
+    from multimodal_alzheimer_tpu.models.fusion_models.anat_pet_fusion import (  # noqa: E501
+        AnatPETFusion,
+    )
+    from multimodal_alzheimer_tpu.models.fusion_models.tabular_mri_fusion import (  # noqa: E501
+        TabularMRIFusion,
+    )
+
+    pet_hp = {"n_classes": 3, "conv_out": (4,), "filter_size": (3,),
+              "linear_out": 8}
+    mri_hp = {"n_classes": 3, "resnet_depth": 10}
+    hp2 = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None}
+    rng = np.random.default_rng(17)
+    s = 16
+    batch2 = {
+        "pet1451": jnp.asarray(rng.normal(size=(2, s, s, s))
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(size=(2, s, s, s))
+                           .astype(np.float32)),
+    }
+    f2 = AnatPETFusion.from_hparams(hp2, pet_hp, mri_hp)
+    v2 = f2.init(jax.random.PRNGKey(0), batch2, train=False)
+    serve2, _ = Q.quantize_mri_fusion(f2, v2, [batch2], quantize_pet=True)
+    err2 = Q.quantization_error(f2, v2, serve2, batch2)
+    assert err2["argmax_agree"] == 1.0, err2
+    assert err2["prob_max_abs_err"] < 0.01, err2
+
+    tab_hp = {"n_classes": 3, "hidden": (16, 32)}
+    batch3 = {"mri": batch2["mri"],
+              "tabular": jnp.asarray(rng.normal(size=(2, 9))
+                                     .astype(np.float32))}
+    f3 = TabularMRIFusion.from_hparams(hp2, mri_hp, tab_hp)
+    v3 = f3.init(jax.random.PRNGKey(0), batch3, train=False)
+    with pytest.raises(ValueError, match="pet_model"):
+        Q.quantize_mri_fusion(f3, v3, [batch3], quantize_pet=True)
+
+
 def test_external_towers_require_share():
     fusion, variables, batch = _fusion_and_batch()
     unshared = fusion.clone(share_towers=False)

@@ -114,7 +114,8 @@ def main(argv=None):
     pred = Predictor(model, variables, batch_size=b, preprocess=preprocess)
     tag0 = jnp.float32(0.0)
 
-    def _chain_and_time(core, variables, batch, label, key):
+    def _chain_and_time(core, variables, batch, label, key,
+                        chain_key="mri"):
         """Scan-chain ``core`` x iters with a data dependency between
         iterations (probs perturb the next input), timed around a real
         scalar fetch — the only trustworthy methodology on this rig
@@ -123,14 +124,14 @@ def main(argv=None):
         @jax.jit
         def chained(variables, batch, tag0):
             def body(carry, _):
-                mri, tag = carry
+                vol, tag = carry
                 bb = dict(batch)
-                bb["mri"] = mri + tag
+                bb[chain_key] = vol + tag
                 out = core(variables, bb)
                 new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
-                return (mri, new_tag), ()
-            (mri, tag), _ = jax.lax.scan(
-                body, (batch["mri"], tag0), None, length=args.iters)
+                return (vol, new_tag), ()
+            (vol, tag), _ = jax.lax.scan(
+                body, (batch[chain_key], tag0), None, length=args.iters)
             return tag
 
         float(chained(variables, batch, tag0))  # compile + warm
@@ -246,6 +247,52 @@ def main(argv=None):
             "int8 Predictor serve (PTQ backbone, memoized min-max)",
             "int8_vol_s")
 
+        def _bench_int8_pet():
+            """PET tower standalone: bf16 eval graph vs the int8 parity-
+            decomposed serve (quantize_pet_cnn)."""
+            from multimodal_alzheimer_tpu.inference.quantize import (
+                quantize_pet_cnn,
+            )
+            from multimodal_alzheimer_tpu.models import SmallPETCNN
+
+            pet_hp = {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+                      "filter_size": (5, 5, 3, 3), "linear_out": 64}
+            pet = SmallPETCNN.from_hparams(pet_hp, dtype=jnp.bfloat16)
+            dev_pet = {"pet1451": jnp.asarray(
+                rng.normal(0.5, 0.5, (b,) + VOLUME_SHAPE)
+                .astype(np.float32))}
+
+            def pre_pet(batch):
+                out = dict(batch)
+                out["pet1451"] = (out["pet1451"] - 0.5145) / 0.5383
+                return out
+
+            vp = pet.init(jax.random.PRNGKey(0), pre_pet(dev_pet),
+                          train=False)
+
+            def serve_float(bb):
+                out = pet.apply(vp, pre_pet(bb), train=False)
+                return {"probs": jax.nn.softmax(out["logits"], -1), **out}
+
+            _chain_and_time(
+                lambda _, bb: serve_float(bb), None, dev_pet,
+                "PET CNN bf16 serve (fused s2d-pool blocks)",
+                "pet_bf16_vol_s", chain_key="pet1451")
+
+            serve_pq, _ = quantize_pet_cnn(pet, vp, [dev_pet],
+                                           preprocess=pre_pet)
+            qerrp = quantization_error(pet, vp, serve_pq, dev_pet,
+                                       preprocess=pre_pet)
+            results["pet_int8_argmax_agree"] = round(
+                qerrp["argmax_agree"], 4)
+            print(f"PET int8 drift vs float: argmax agree "
+                  f"{qerrp['argmax_agree']:.4f}, max prob abs err "
+                  f"{qerrp['prob_max_abs_err']:.4f}", file=sys.stderr)
+            _chain_and_time(
+                lambda _, bb: serve_pq(bb), None, dev_pet,
+                "int8 PET CNN serve (PTQ fused blocks)",
+                "pet_int8_vol_s", chain_key="pet1451")
+
         def _bench_int8_fusion():
             from multimodal_alzheimer_tpu.inference.quantize import (
                 quantize_all_modalities_fusion,
@@ -266,11 +313,28 @@ def main(argv=None):
                 "int8 3-stage fusion serve (int8 MRI tower, shared "
                 "towers, memoized min-max)", "int8_3stage_vol_s")
 
+            # Both imaging towers int8 (quantize_pet=True).
+            serve3_qq, _ = quantize_all_modalities_fusion(
+                fusion, v3, [dev3], preprocess=preprocess3,
+                quantize_pet=True)
+            qerr3q = quantization_error(fusion, v3, serve3_qq, dev3,
+                                        preprocess=preprocess3)
+            results["int8_3stage_pet_argmax_agree"] = round(
+                qerr3q["argmax_agree"], 4)
+            print(f"int8 3-stage (MRI+PET towers) drift vs float: argmax "
+                  f"agree {qerr3q['argmax_agree']:.4f}, max prob abs err "
+                  f"{qerr3q['prob_max_abs_err']:.4f}", file=sys.stderr)
+            _chain_and_time(
+                lambda _, bb: serve3_qq(bb), None, dev3,
+                "int8 3-stage fusion serve (int8 MRI+PET towers, shared "
+                "towers, memoized min-max)", "int8_3stage_pet_vol_s")
+
         # 3-stage fusion with the int8 MRI backbone fed through the
         # shared-tower hook (quantize_all_modalities_fusion). The fusion
         # benches stay on the parity (dilated) backbone — --fast is a
         # single-model performance-mode demo, so they are skipped there.
         if not args.fast:
+            _bench_int8_pet()
             _bench_int8_fusion()
 
     if args.skip_float or args.fast:
