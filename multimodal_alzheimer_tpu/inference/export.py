@@ -40,6 +40,22 @@ def export_model(model, variables: dict, example_batch: dict,
     return bytes(exported.serialize())
 
 
+def export_serve_fn(serve_fn, example_batch: dict) -> bytes:
+    """Serialize an arbitrary serving callable (batch dict -> output
+    dict) to the same artifact format as ``export_model``.
+
+    This is the export path for the optimized serving graphs that are
+    not a bare ``model.apply`` — the int8 PTQ serves, the BN-folded
+    float serves, and the fusion serves with external quantized towers
+    (``inference/quantize.py``); their weights/scales are closure
+    constants and get baked into the artifact.
+    """
+    from jax import export as jax_export
+
+    exported = jax_export.export(jax.jit(serve_fn))(example_batch)
+    return bytes(exported.serialize())
+
+
 def load_exported(blob: bytes):
     """Deserialize an exported artifact; returns fn(batch) -> outputs."""
     from jax import export as jax_export

@@ -514,6 +514,30 @@ def test_int8_fusion_serve_both_towers():
         Q.quantize_mri_fusion(f3, v3, [batch3], quantize_pet=True)
 
 
+def test_int8_fusion_serve_exports():
+    """The full 3-stage int8 deployment (quantized MRI+PET towers fed
+    through the external-towers hook) exports to a StableHLO artifact
+    and reloads bit-faithfully — the production serving artifact."""
+    from multimodal_alzheimer_tpu.inference.export import (
+        export_serve_fn,
+        load_exported,
+    )
+
+    fusion, variables, batch = _fusion_and_batch()
+    serve, _ = Q.quantize_all_modalities_fusion(
+        fusion, variables, [batch], quantize_pet=True)
+    blob = export_serve_fn(serve, batch)
+    reloaded = load_exported(blob)
+    live = serve(batch)
+    art = reloaded(batch)
+    np.testing.assert_allclose(np.asarray(art["logits"]),
+                               np.asarray(live["logits"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(art["probs"]),
+                               np.asarray(live["probs"]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_external_towers_require_share():
     fusion, variables, batch = _fusion_and_batch()
     unshared = fusion.clone(share_towers=False)
