@@ -667,8 +667,8 @@ def quantize_pet_cnn(model, variables: dict, calib_batches,
     blocks run int8 on the MXU's 2x mode, the GAP + Dense head in f32.
 
     MEASURED VERDICT (v5e, batch 128, 91^3, tools/bench_serving.py
-    --int8): int8 LOSES on this tower — 6225 vol/s vs 7276 bf16 (and
-    3-stage fusion with both imaging towers int8: 1846 vs 1862 with the
+    --int8): int8 LOSES on this tower — 6292 vol/s vs 7196 bf16 (and
+    3-stage fusion with both imaging towers int8: 1501 vs 1554 with the
     int8 MRI tower alone). The PET tower's convs are small-contraction
     (<=27 taps x 64 ch) and relayout/bandwidth-bound, so the MXU's 2x
     int8 peak never engages while the f32->int8 requant passes add HBM
@@ -676,7 +676,7 @@ def quantize_pet_cnn(model, variables: dict, calib_batches,
     production serving uses the bf16 fused-s2d float path and
     ``quantize_pet=False`` (the default) in the fusion quantizers. int8
     wins only where the tower is MXU-bound (the ResNet backbones:
-    1894 vs 1014 on the flagship).
+    1896 vs 1019 on the flagship).
     """
     specs = _pet_block_specs(model, variables)
     folded = fold_pet_tower(model, variables, specs)

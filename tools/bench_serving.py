@@ -115,23 +115,29 @@ def main(argv=None):
     tag0 = jnp.float32(0.0)
 
     def _chain_and_time(core, variables, batch, label, key,
-                        chain_key="mri"):
+                        chain_keys=("mri",)):
         """Scan-chain ``core`` x iters with a data dependency between
         iterations (probs perturb the next input), timed around a real
         scalar fetch — the only trustworthy methodology on this rig
-        (see module docstring)."""
+        (see module docstring).
+
+        ``chain_keys`` must list EVERY model input that feeds real
+        compute: an input left out of the chain is a scan-loop constant,
+        and XLA's while-loop invariant code motion hoists its whole
+        consumer tower OUT of the timed loop (measured: the 3-stage
+        fusion serve "cost" exactly its MRI tower until the PET/tabular
+        inputs joined the chain — a ~17 ms/batch PET tower vanished from
+        the measurement)."""
 
         @jax.jit
         def chained(variables, batch, tag0):
-            def body(carry, _):
-                vol, tag = carry
+            def body(tag, _):
                 bb = dict(batch)
-                bb[chain_key] = vol + tag
+                for ck in chain_keys:
+                    bb[ck] = batch[ck] + tag
                 out = core(variables, bb)
-                new_tag = out["probs"].astype(jnp.float32).sum() * 1e-20
-                return (vol, new_tag), ()
-            (vol, tag), _ = jax.lax.scan(
-                body, (batch[chain_key], tag0), None, length=args.iters)
+                return out["probs"].astype(jnp.float32).sum() * 1e-20, ()
+            tag, _ = jax.lax.scan(body, tag0, None, length=args.iters)
             return tag
 
         float(chained(variables, batch, tag0))  # compile + warm
@@ -277,7 +283,7 @@ def main(argv=None):
             _chain_and_time(
                 lambda _, bb: serve_float(bb), None, dev_pet,
                 "PET CNN bf16 serve (fused s2d-pool blocks)",
-                "pet_bf16_vol_s", chain_key="pet1451")
+                "pet_bf16_vol_s", chain_keys=("pet1451",))
 
             serve_pq, _ = quantize_pet_cnn(pet, vp, [dev_pet],
                                            preprocess=pre_pet)
@@ -291,7 +297,7 @@ def main(argv=None):
             _chain_and_time(
                 lambda _, bb: serve_pq(bb), None, dev_pet,
                 "int8 PET CNN serve (PTQ fused blocks)",
-                "pet_int8_vol_s", chain_key="pet1451")
+                "pet_int8_vol_s", chain_keys=("pet1451",))
 
         def _bench_int8_fusion():
             from multimodal_alzheimer_tpu.inference.quantize import (
@@ -299,9 +305,14 @@ def main(argv=None):
             )
 
             fusion, v3, dev3, preprocess3 = _build_fusion()
+            # Drift checks run the serves EAGERLY (quantization_error);
+            # at batch 128 a single eager f32 stem buffer is ~4.7 GB and
+            # OOMs once the float-section executables are resident — a
+            # 32-sample slice gives the same drift stats.
+            dev3_s = {k: v[:32] for k, v in dev3.items()}
             serve3_q, _ = quantize_all_modalities_fusion(
                 fusion, v3, [dev3], preprocess=preprocess3)
-            qerr3 = quantization_error(fusion, v3, serve3_q, dev3,
+            qerr3 = quantization_error(fusion, v3, serve3_q, dev3_s,
                                        preprocess=preprocess3)
             results["int8_3stage_argmax_agree"] = round(
                 qerr3["argmax_agree"], 4)
@@ -311,13 +322,14 @@ def main(argv=None):
             _chain_and_time(
                 lambda _, bb: serve3_q(bb), None, dev3,
                 "int8 3-stage fusion serve (int8 MRI tower, shared "
-                "towers, memoized min-max)", "int8_3stage_vol_s")
+                "towers, memoized min-max)", "int8_3stage_vol_s",
+                chain_keys=("mri", "pet1451", "tabular"))
 
             # Both imaging towers int8 (quantize_pet=True).
             serve3_qq, _ = quantize_all_modalities_fusion(
                 fusion, v3, [dev3], preprocess=preprocess3,
                 quantize_pet=True)
-            qerr3q = quantization_error(fusion, v3, serve3_qq, dev3,
+            qerr3q = quantization_error(fusion, v3, serve3_qq, dev3_s,
                                         preprocess=preprocess3)
             results["int8_3stage_pet_argmax_agree"] = round(
                 qerr3q["argmax_agree"], 4)
@@ -327,7 +339,8 @@ def main(argv=None):
             _chain_and_time(
                 lambda _, bb: serve3_qq(bb), None, dev3,
                 "int8 3-stage fusion serve (int8 MRI+PET towers, shared "
-                "towers, memoized min-max)", "int8_3stage_pet_vol_s")
+                "towers, memoized min-max)", "int8_3stage_pet_vol_s",
+                chain_keys=("mri", "pet1451", "tabular"))
 
         # 3-stage fusion with the int8 MRI backbone fed through the
         # shared-tower hook (quantize_all_modalities_fusion). The fusion
@@ -381,7 +394,8 @@ def main(argv=None):
     _chain_and_time(
         pred3._raw_fn, pred3.variables, dev3,
         "3-stage fusion serve (PET+MRI+tabular, shared towers, memoized "
-        "min-max)", "three_stage_vol_s")
+        "min-max)", "three_stage_vol_s",
+        chain_keys=("mri", "pet1451", "tabular"))
 
     # Same deployment with the BN-folded bf16 MRI tower through the
     # external-towers hook (the float analogue of the int8 path).
@@ -394,7 +408,8 @@ def main(argv=None):
     _chain_and_time(
         lambda _, bb: serve3_f(bb), None, dev3,
         "3-stage fusion serve, BN-folded MRI tower",
-        "three_stage_folded_vol_s")
+        "three_stage_folded_vol_s",
+        chain_keys=("mri", "pet1451", "tabular"))
 
     if args.host:
         # Full host->host path incl. padding + H2D + D2H. Tunnel-bound
