@@ -42,7 +42,8 @@ def _pet_ckpt(tmp_path):
     )
 
     hparams = {"n_classes": 3, "conv_out": [4, 8], "filter_size": [5, 3],
-               "linear_out": 8, "lr": 1e-3}
+               "linear_out": 8, "lr": 1e-3,
+               "norm_mean": 0.5145, "norm_std": 0.5383}
     model = SmallPETCNN.from_hparams(hparams)
     rng = np.random.default_rng(1)
     batch = {"pet1451": jnp.asarray(
@@ -94,6 +95,89 @@ def test_export_pet_cnn_int8_and_float(tmp_path):
             ckpt, "--model", "pet_cnn", "--mode", "folded",
             "--out", str(tmp_path / "x.shlo"),
             "--batch", "2", "--volume-shape", "17", "18", "16"])
+
+
+def test_export_stage2_fusion_folded_and_int8(tmp_path):
+    """anat_pet_fusion: the loader resolves the stage-1 sub-checkpoints
+    via embedded paths; folded and int8 modes route the MRI tower
+    through fold_mri_fusion / quantize_mri_fusion."""
+    from multimodal_alzheimer_tpu.models.fusion_models.anat_pet_fusion import (  # noqa: E501
+        AnatPETFusion,
+    )
+
+    pet_ckpt, mri_ckpt = _pet_ckpt(tmp_path), _anat_ckpt(tmp_path)
+    _, pet_hp, _ = load_checkpoint(pet_ckpt)
+    _, mri_hp, _ = load_checkpoint(mri_ckpt)
+    hparams = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None,
+               "path_pet": pet_ckpt, "path_mri": mri_ckpt}
+    fusion = AnatPETFusion.from_hparams(hparams, pet_hp, mri_hp)
+    rng = np.random.default_rng(7)
+    batch = {
+        "pet1451": jnp.asarray(rng.normal(0.5, 0.5, (2, 12, 14, 12))
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(900, 400, (2, 12, 14, 12))
+                           .astype(np.float32)),
+    }
+    variables = fusion.init(jax.random.PRNGKey(0), batch, train=False)
+    path = tmp_path / "ap_ckpt"
+    save_checkpoint(path, variables, hparams)
+
+    for mode in ("folded", "int8"):
+        out = tmp_path / f"ap_{mode}.shlo"
+        export_artifact.main([
+            str(path), "--model", "anat_pet_fusion", "--mode", mode,
+            "--out", str(out), "--batch", "2",
+            "--volume-shape", "12", "14", "12"])
+        assert out.exists()
+
+
+def test_export_tabular_and_early_fusion(tmp_path):
+    from multimodal_alzheimer_tpu.models.fusion_models.early_fusion import (
+        PETMRIEarlyFusion,
+    )
+    from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import (
+        TabularMLP,
+    )
+
+    rng = np.random.default_rng(11)
+    tab_hp = {"n_classes": 3, "hidden": [16, 32], "lr": 1e-3}
+    tab = TabularMLP.from_hparams(tab_hp)
+    tb = {"tabular": jnp.asarray(rng.normal(size=(2, 9))
+                                 .astype(np.float32))}
+    tv = tab.init(jax.random.PRNGKey(0), tb, train=False)
+    tpath = tmp_path / "tab_ckpt"
+    save_checkpoint(tpath, tv, tab_hp)
+    out = tmp_path / "tab.shlo"
+    export_artifact.main([str(tpath), "--model", "tabular",
+                          "--mode", "float", "--out", str(out),
+                          "--batch", "2"])
+    assert out.exists()
+    # int8 has no path for the MLP — clear error, not silence.
+    with pytest.raises(SystemExit, match="int8"):
+        export_artifact.main([str(tpath), "--model", "tabular",
+                              "--mode", "int8",
+                              "--out", str(tmp_path / "x.shlo"),
+                              "--batch", "2"])
+
+    ef_hp = {"n_classes": 2, "conv_out": [4, 8], "filter_size": [5, 3],
+             "linear_out": 8, "lr": 1e-3, "norm_mean": 0.51,
+             "norm_std": 0.54}
+    ef = PETMRIEarlyFusion.from_hparams(ef_hp)
+    eb = {
+        "pet1451": jnp.asarray(rng.normal(0.5, 0.5, (2, 17, 18, 16))
+                               .astype(np.float32)),
+        "mri": jnp.asarray(rng.normal(900, 400, (2, 17, 18, 16))
+                           .astype(np.float32)),
+    }
+    ev = ef.init(jax.random.PRNGKey(0), eb, train=False)
+    epath = tmp_path / "ef_ckpt"
+    save_checkpoint(epath, ev, ef_hp)
+    out2 = tmp_path / "ef.shlo"
+    export_artifact.main([str(epath), "--model", "early_fusion",
+                          "--mode", "float", "--out", str(out2),
+                          "--batch", "2",
+                          "--volume-shape", "17", "18", "16"])
+    assert out2.exists()
 
 
 def test_export_uses_checkpoint_quantile(tmp_path):
