@@ -641,9 +641,12 @@ def _pet_tower_forward(tree, x, ctx, specs):
         with jax.named_scope(sp["name"]):
             if sp["fused"]:
                 X, (d, h, w) = _s2d_pool_input(carrier)
-                y = jax.nn.relu(ctx.conv(blk, X, 1, 1, pad="SAME"))
+                # Asymmetric pad = SAME + tail slice without the slice
+                # pass (mirrors models/layers.py:S2DConvReLUPool).
+                pad = [(1, 0 if dim % 2 else 1) for dim in (d, h, w)]
+                y = jax.nn.relu(ctx.conv(blk, X, 1, 1, pad=pad))
                 y = y.reshape(y.shape[:4] + (8, sp["features"]))
-                y = jnp.max(y, axis=4)[:, :d // 2, :h // 2, :w // 2, :]
+                y = jnp.max(y, axis=4)
                 if i == last:
                     return y
                 carrier = ctx.requant(f"{sp['name']}/out", y)
@@ -667,8 +670,8 @@ def quantize_pet_cnn(model, variables: dict, calib_batches,
     blocks run int8 on the MXU's 2x mode, the GAP + Dense head in f32.
 
     MEASURED VERDICT (v5e, batch 128, 91^3, tools/bench_serving.py
-    --int8): int8 LOSES on this tower — 6292 vol/s vs 7196 bf16 (and
-    3-stage fusion with both imaging towers int8: 1501 vs 1554 with the
+    --int8): int8 LOSES on this tower — 6691 vol/s vs 8046 bf16 (and
+    3-stage fusion with both imaging towers int8: 1524 vs 1584 with the
     int8 MRI tower alone). The PET tower's convs are small-contraction
     (<=27 taps x 64 ch) and relayout/bandwidth-bound, so the MXU's 2x
     int8 peak never engages while the f32->int8 requant passes add HBM

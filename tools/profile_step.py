@@ -108,6 +108,44 @@ def _build_pet_step(batch_size: int):
     return step, state, batch, jax.random.PRNGKey(1)
 
 
+def _build_pet_serve_step(batch_size: int):
+    """SmallPETCNN bf16 inference step (split-stats z-score preprocess
+    fused) — the PET tower's serving forward, profiled region-by-region
+    against its executed-FLOPs/HBM bounds."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_alzheimer_tpu.models import SmallPETCNN
+    from multimodal_alzheimer_tpu.ops.normalization import normalize_pet
+
+    model = SmallPETCNN.from_hparams(
+        {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+         "filter_size": (5, 5, 3, 3), "linear_out": 64},
+        dtype=jnp.bfloat16)
+
+    def preprocess(b):
+        out = dict(b)
+        out["pet1451"] = normalize_pet(out["pet1451"], 0.5145, 0.5383)
+        return out
+
+    rng_np = np.random.default_rng(0)
+    batch = {"pet1451": jnp.asarray(
+        rng_np.normal(0.5, 0.5, (batch_size,) + bench.VOLUME_SHAPE)
+        .astype(np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), preprocess(batch),
+                           train=False)
+
+    def core(state, b, rng):
+        out = model.apply(variables, preprocess(b), train=False)
+        probs = jax.nn.softmax(out["logits"], axis=-1)
+        return state, {"loss": probs.astype(jnp.float32).sum()}
+
+    return (jax.jit(core), jnp.float32(0.0), batch,
+            jax.random.PRNGKey(1))
+
+
 def _build_serve_step(batch_size: int, int8: bool, plain_stem=False,
                       folded=False):
     """Flagship serving step (memoized min-max preprocess), bf16 or int8
@@ -247,7 +285,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--config", default="flagship",
-                    choices=("flagship", "pet", "serve", "serve_int8"),
+                    choices=("flagship", "pet", "pet_serve", "serve",
+                             "serve_int8"),
                     help="flagship = MRI ResNet-18 train step; pet = "
                          "SmallPETCNN train step; serve / serve_int8 = "
                          "bf16 / PTQ-int8 flagship inference step")
@@ -268,6 +307,8 @@ def main(argv=None):
 
     if args.config == "pet":
         step, state, batch, rng = _build_pet_step(args.batch)
+    elif args.config == "pet_serve":
+        step, state, batch, rng = _build_pet_serve_step(args.batch)
     elif args.config in ("serve", "serve_int8"):
         step, state, batch, rng = _build_serve_step(
             args.batch, int8=args.config == "serve_int8",
@@ -343,7 +384,8 @@ def main(argv=None):
         per_name[e["name"]][1] += 1
 
     # Join trace event names to HLO instructions and classify.
-    regions = PET_REGIONS if args.config == "pet" else REGIONS
+    regions = (PET_REGIONS if args.config in ("pet", "pet_serve")
+               else REGIONS)
     region_ms: dict = {}
     unmatched = []
     filtered = []
