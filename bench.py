@@ -252,8 +252,13 @@ def _measure_generic(model, batch, criterion_weights, preprocess=None,
     return n * iters / (time.perf_counter() - t0)
 
 
-def measure_all_configs():
-    """Train-step samples/sec for every BASELINE.json config (stderr)."""
+def measure_all_configs(only=None):
+    """Train-step samples/sec for every BASELINE.json config (stderr).
+
+    ``only`` (an iterable of config names, e.g. from ``--only a,b``)
+    restricts the run — each config costs minutes of remote compile
+    through the tunnel, so targeted re-measurement matters.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -309,19 +314,24 @@ def measure_all_configs():
     w = [0.4, 0.3, 0.3]
     results = {}
 
+    want = (lambda name: only is None or name in only)
+
     b = 4096
-    results["tabular_mlp"] = _measure_generic(
-        TabularMLP.from_hparams(tab_hp, dtype=jnp.bfloat16),
-        {"tabular": jnp.asarray(rng.normal(size=(b, 9))
-                                .astype(np.float32)),
-         "label": labels(b)}, w)
+    if want("tabular_mlp"):
+        results["tabular_mlp"] = _measure_generic(
+            TabularMLP.from_hparams(tab_hp, dtype=jnp.bfloat16),
+            {"tabular": jnp.asarray(rng.normal(size=(b, 9))
+                                    .astype(np.float32)),
+             "label": labels(b)}, w)
 
     b = 128
-    results["pet_3d_cnn"] = _measure_generic(
-        SmallPETCNN.from_hparams(pet_hp, dtype=jnp.bfloat16),
-        {"pet1451": vols(b), "label": labels(b)}, w, pre_pet)
+    if want("pet_3d_cnn"):
+        results["pet_3d_cnn"] = _measure_generic(
+            SmallPETCNN.from_hparams(pet_hp, dtype=jnp.bfloat16),
+            {"pet1451": vols(b), "label": labels(b)}, w, pre_pet)
 
-    results["mri_resnet18"] = measure(128)
+    if want("mri_resnet18"):
+        results["mri_resnet18"] = measure(128)
 
     # Parity-default preprocessing: the fusion driver and the reference's
     # tuned MRI pipeline normalize with quantile min-max, not z-score
@@ -337,10 +347,11 @@ def measure_all_configs():
         return out
 
     b = 128
-    results["mri_resnet18_minmax"] = _measure_generic(
-        AnatCNN.from_hparams({**mri_hp, "batchnorm_begin": False,
-                              "lr": 1e-3}, dtype=jnp.bfloat16),
-        {**mri_batch(b), "label": labels(b)}, w, pre_mri_minmax)
+    if want("mri_resnet18_minmax"):
+        results["mri_resnet18_minmax"] = _measure_generic(
+            AnatCNN.from_hparams({**mri_hp, "batchnorm_begin": False,
+                                  "lr": 1e-3}, dtype=jnp.bfloat16),
+            {**mri_batch(b), "label": labels(b)}, w, pre_mri_minmax)
 
     # Steady-state production min-max: the dataset memoizes per-scan
     # quantiles (training-invariant, data/dataset.py:_minmax_bounds) so
@@ -354,18 +365,19 @@ def measure_all_configs():
             {"per_scan_norm": "min_max"}, 0.99, qminmax=qmm)
         return out
 
-    from multimodal_alzheimer_tpu.ops.pallas_norm import (
-        batched_masked_quantiles,
-    )
+    if want("mri_resnet18_minmax_memo"):
+        from multimodal_alzheimer_tpu.ops.pallas_norm import (
+            batched_masked_quantiles,
+        )
 
-    mb = mri_batch(b)
-    quants = batched_masked_quantiles(mb["mri"], mb["mri_mask"],
-                                      (0.01, 0.99))
-    results["mri_resnet18_minmax_memo"] = _measure_generic(
-        AnatCNN.from_hparams({**mri_hp, "batchnorm_begin": False,
-                              "lr": 1e-3}, dtype=jnp.bfloat16),
-        {**mb, "mri_qminmax": quants, "label": labels(b)}, w,
-        pre_mri_minmax_memo)
+        mb = mri_batch(b)
+        quants = batched_masked_quantiles(mb["mri"], mb["mri_mask"],
+                                          (0.01, 0.99))
+        results["mri_resnet18_minmax_memo"] = _measure_generic(
+            AnatCNN.from_hparams({**mri_hp, "batchnorm_begin": False,
+                                  "lr": 1e-3}, dtype=jnp.bfloat16),
+            {**mb, "mri_qminmax": quants, "label": labels(b)}, w,
+            pre_mri_minmax_memo)
 
     # Batch 128 is the measured sweet spot for both regimes
     # (pet_mri: 201@64 -> 287@128 — fully-unfrozen towers fit, like the
@@ -373,21 +385,24 @@ def measure_all_configs():
     # stage-1 towers freeze per the stage-2 checkpoints' hparams, the
     # reference's re-init semantics, so only heads carry activations).
     b = 128
-    results["pet_mri_late_fusion"] = _measure_generic(
-        AnatPETFusion.from_hparams({"n_classes": 3}, pet_hp, mri_hp,
-                                   dtype=jnp.bfloat16),
-        {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
-        w, pre_both)
+    if want("pet_mri_late_fusion"):
+        results["pet_mri_late_fusion"] = _measure_generic(
+            AnatPETFusion.from_hparams({"n_classes": 3}, pet_hp, mri_hp,
+                                       dtype=jnp.bfloat16),
+            {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
+            w, pre_both)
 
     b = 128
-    results["three_stage_full_fusion"] = _measure_generic(
-        AllModalitiesFusion.from_hparams(
-            {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
-            {"n_classes": 3}, pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16),
-        {"pet1451": vols(b), **mri_batch(b),
-         "tabular": jnp.asarray(rng.normal(size=(b, 9))
-                                .astype(np.float32)),
-         "label": labels(b)}, w, pre_both)
+    if want("three_stage_full_fusion"):
+        results["three_stage_full_fusion"] = _measure_generic(
+            AllModalitiesFusion.from_hparams(
+                {"n_classes": 3}, {"n_classes": 3}, {"n_classes": 3},
+                {"n_classes": 3}, pet_hp, mri_hp, tab_hp,
+                dtype=jnp.bfloat16),
+            {"pet1451": vols(b), **mri_batch(b),
+             "tabular": jnp.asarray(rng.normal(size=(b, 9))
+                                    .astype(np.float32)),
+             "label": labels(b)}, w, pre_both)
 
     # Frozen-tower configs: the reference's *default* fusion regime
     # (stage-1/2 at requires_grad=False unless lr_pretrained,
@@ -397,35 +412,56 @@ def measure_all_configs():
 
     hp_frozen = {"n_classes": 3, "lr": 1e-3, "lr_pretrained": None}
     b = 128
-    results["pet_mri_late_fusion_frozen"] = _measure_generic(
-        AnatPETFusion.from_hparams(hp_frozen, pet_hp, mri_hp,
-                                   dtype=jnp.bfloat16),
-        {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
-        w, pre_both,
-        optimizer=fusion_optimizer(
-            hp_frozen, ("reduce_dim_mri", "stage2out", "cls2")))
+    if want("pet_mri_late_fusion_frozen"):
+        results["pet_mri_late_fusion_frozen"] = _measure_generic(
+            AnatPETFusion.from_hparams(hp_frozen, pet_hp, mri_hp,
+                                       dtype=jnp.bfloat16),
+            {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
+            w, pre_both,
+            optimizer=fusion_optimizer(
+                hp_frozen, ("reduce_dim_mri", "stage2out", "cls2")))
 
     # Frozen towers are inference-only (stop_gradient) so activation
     # memory is far below the unfrozen regime's: batch 128 fits and is
     # the measured sweet spot (b=64: 440 vol/s, b=128: 650, b=192: OOM).
     b = 128
-    results["three_stage_full_fusion_frozen"] = _measure_generic(
-        AllModalitiesFusion.from_hparams(
-            hp_frozen, {"n_classes": 3}, {"n_classes": 3},
-            {"n_classes": 3}, pet_hp, mri_hp, tab_hp, dtype=jnp.bfloat16),
-        {"pet1451": vols(b), **mri_batch(b),
-         "tabular": jnp.asarray(rng.normal(size=(b, 9))
-                                .astype(np.float32)),
-         "label": labels(b)}, w, pre_both,
-        optimizer=fusion_optimizer(hp_frozen, ("stage3out", "cls3")))
+    if want("three_stage_full_fusion_frozen"):
+        results["three_stage_full_fusion_frozen"] = _measure_generic(
+            AllModalitiesFusion.from_hparams(
+                hp_frozen, {"n_classes": 3}, {"n_classes": 3},
+                {"n_classes": 3}, pet_hp, mri_hp, tab_hp,
+                dtype=jnp.bfloat16),
+            {"pet1451": vols(b), **mri_batch(b),
+             "tabular": jnp.asarray(rng.normal(size=(b, 9))
+                                    .astype(np.float32)),
+             "label": labels(b)}, w, pre_both,
+            optimizer=fusion_optimizer(hp_frozen, ("stage3out", "cls3")))
     return results
 
 
 def main():
-    if "--all" in sys.argv:
-        for name, value in measure_all_configs().items():
+    only = None
+    for i, arg in enumerate(sys.argv):
+        if arg == "--only":
+            only = set(sys.argv[i + 1].split(","))
+        elif arg.startswith("--only="):
+            only = set(arg.split("=", 1)[1].split(","))
+    if "--all" in sys.argv or only:
+        all_results = measure_all_configs(only)
+        for name, value in all_results.items():
             print(f"{name}: {value:.1f} samples/s/chip (train)",
                   file=sys.stderr)
+        if only:
+            # Targeted re-measurement: report the requested configs and
+            # skip the flagship (driver runs use plain `bench.py`,
+            # which is unaffected; this mode is for doc refreshes).
+            print(json.dumps({
+                "metric": "train_samples_per_sec_per_chip",
+                "value": {k: round(v, 1)
+                          for k, v in sorted(all_results.items())},
+                "unit": "samples/s/chip",
+            }))
+            return
 
     batch_size = 128  # measured sweet spot on v5e (sweep: 16..192)
     value = None
