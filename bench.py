@@ -404,6 +404,44 @@ def measure_all_configs(only=None):
                                     .astype(np.float32)),
              "label": labels(b)}, w, pre_both)
 
+    # Fusion baselines (reference PET_MRI_EF / PET_MRI_FMF): the input-
+    # level 2-channel CNN (all-scan MRI stats, train_early_fusion.py:
+    # 141-144) and the intermediate feature-map fusion. Their small-
+    # channel towers ride the fused parity-decomposed blocks
+    # (layers.S2DConvReLUPool auto-applies at cin<=8).
+    def pre_early(batch):
+        from multimodal_alzheimer_tpu.ops.normalization import (
+            zscore_normalize,
+        )
+
+        out = pre_pet(batch)
+        out["mri"] = zscore_normalize(out["mri"], 414.8254, 920.8566)
+        out.pop("mri_mask", None)
+        return out
+
+    b = 128
+    if want("early_fusion"):
+        from multimodal_alzheimer_tpu.models import PETMRIEarlyFusion
+
+        results["early_fusion"] = _measure_generic(
+            PETMRIEarlyFusion.from_hparams(
+                {"n_classes": 3, "conv_out": (8, 16, 32, 64),
+                 "filter_size": (5, 5, 3, 3), "linear_out": 64},
+                dtype=jnp.bfloat16),
+            {"pet1451": vols(b), "mri": mri_batch(b)["mri"],
+             "label": labels(b)}, w, pre_early)
+
+    b = 128
+    if want("featuremap_fusion"):
+        from multimodal_alzheimer_tpu.models import PETMRIFeatureMapFusion
+
+        results["featuremap_fusion"] = _measure_generic(
+            PETMRIFeatureMapFusion.from_hparams(
+                {"n_classes": 3, "fusion_mode": "maxout"},
+                dtype=jnp.bfloat16),
+            {"pet1451": vols(b), **mri_batch(b), "label": labels(b)},
+            w, pre_both)
+
     # Frozen-tower configs: the reference's *default* fusion regime
     # (stage-1/2 at requires_grad=False unless lr_pretrained,
     # anat_pet_fusion.py:34-40) — stop_gradient at the taps skips the

@@ -200,6 +200,14 @@ class S2DConvReLUPool(nn.Module):
     features: int
     kernel_size: int
     dtype: jnp.dtype = jnp.float32
+    # parity_out=True returns the conv+bias result in parity layout
+    # (B, ceil(D/2), ceil(H/2), ceil(W/2), 8, F) — ALL conv output
+    # positions, symmetric padding, no ReLU/max — so a BatchNorm can
+    # take exact full-tensor statistics before the pool
+    # (ParityBatchNorm + parity_pool in ConvBlock3D). Odd extents carry
+    # one garbage plane per odd dim (parity r=1 of the last row, fed
+    # purely by the zero pad); parity_valid_mask marks them.
+    parity_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -241,15 +249,113 @@ class S2DConvReLUPool(nn.Module):
         # a zero row in the input pad above, so row dim//2 already
         # exists). Equivalent to SAME + the tail slice, minus the
         # materialized slice pass (profiled 0.7 ms/128 at 91^3 serve —
-        # and its backward pad in training).
-        pad = tuple((1, 0 if dim % 2 else 1) for dim in (d, h, w))
+        # and its backward pad in training). parity_out needs every conv
+        # position (BN statistics), so it pads symmetrically instead.
+        if self.parity_out:
+            pad = ((1, 1),) * 3
+        else:
+            pad = tuple((1, 0 if dim % 2 else 1) for dim in (d, h, w))
         out = jax.lax.conv_general_dilated(
             X.astype(self.dtype), W.astype(self.dtype),
             window_strides=(1, 1, 1), padding=pad,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.parity_out:
+            out = out.reshape(b, dp // 2, hp // 2, wp // 2, 8,
+                              self.features)
+            return out + bias.astype(self.dtype)
         out = out.reshape(b, d // 2, h // 2, w // 2, 8, self.features)
         out = nn.relu(out + bias.astype(self.dtype))
         return jnp.max(out, axis=4)
+
+
+def parity_valid_mask(spatial: Sequence[int]) -> jnp.ndarray:
+    """(ceil(D/2), ceil(H/2), ceil(W/2), 8) float mask of real conv
+    positions in a ``parity_out`` tensor — 0 marks the garbage plane an
+    odd extent gains (parity r=1 of its last row reads only the zero
+    pad). Parity axis order matches the fused conv: rd*4 + rh*2 + rw."""
+    import numpy as np
+
+    per_dim = []
+    for dim in spatial:
+        rows = (dim + 1) // 2
+        m = np.ones((rows, 2), np.float32)
+        if dim % 2:
+            m[rows - 1, 1] = 0.0
+        per_dim.append(m)
+    md, mh, mw = per_dim
+    mask = (md[:, None, None, :, None, None]
+            * mh[None, :, None, None, :, None]
+            * mw[None, None, :, None, None, :])
+    return jnp.asarray(mask.reshape(md.shape[0], mh.shape[0],
+                                    mw.shape[0], 8))
+
+
+def parity_pool(y: jnp.ndarray, spatial: Sequence[int]) -> jnp.ndarray:
+    """MaxPool(2, floor) of a ``parity_out`` tensor: keep the rows the
+    floor semantics keep (dim//2 — drops the odd-extent tail row and
+    with it every garbage plane), then max over the 8 parities."""
+    d, h, w = spatial
+    return jnp.max(y[:, :d // 2, :h // 2, :w // 2], axis=4)
+
+
+class ParityBatchNorm(nn.Module):
+    """BatchNorm over a ``parity_out`` tensor — exact naive-path stats.
+
+    The parity layout holds every conv output position exactly once
+    (plus masked garbage planes on odd extents), so masked moments equal
+    the naive path's full pre-pool statistics up to summation order.
+    Variable tree matches ``nn.BatchNorm`` (``batch_stats/{mean,var}``,
+    ``params/{scale,bias}``) so checkpoints interoperate with the
+    unfused path. ``torch_stats`` mirrors :class:`TorchStatsBatchNorm`'s
+    Bessel-corrected running-variance EMA (PARITY.md divergence 3).
+
+    Like TorchStatsBatchNorm, the Bessel/stat count ``n_valid`` is the
+    static element count of the GLOBAL logical batch — correct under
+    GSPMD data parallelism (jit shapes are global; the masked sums
+    reduce across shards via compiler-inserted collectives).
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+    torch_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 n_valid: int) -> jnp.ndarray:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mf = mask[None, ..., None].astype(jnp.float32)
+            xf = x.astype(jnp.float32) * mf
+            inv_n = jnp.float32(1.0 / n_valid)
+            mean = jnp.sum(xf, axes) * inv_n
+            var = jnp.sum(jnp.square(x.astype(jnp.float32)) * mf,
+                          axes) * inv_n - jnp.square(mean)
+            if not self.is_initializing():
+                batch_var = var
+                if self.torch_stats:
+                    batch_var = var * jnp.float32(
+                        n_valid / max(n_valid - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * batch_var)
+        dtype = self.dtype or x.dtype
+        mul = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(dtype)
+        return (x.astype(dtype) - mean.astype(dtype)) * mul \
+            + bias.astype(dtype)
 
 
 class ConvBlock3D(nn.Module):
@@ -264,8 +370,10 @@ class ConvBlock3D(nn.Module):
     # Fused parity-decomposed conv+relu+pool (S2DConvReLUPool): exact,
     # checkpoint-compatible, and the only efficient lowering for the
     # small-channel stride-1 convs (pet_3d_cnn: 597 -> see bench --all).
-    # Ineligible with BatchNorm: BN statistics are taken over the full
-    # pre-pool tensor, which the fused form never materializes.
+    # BatchNorm blocks fuse too: the parity_out layout holds every conv
+    # position, so ParityBatchNorm takes exact masked full-tensor stats
+    # before the pool (reference order Conv -> BN -> ReLU -> MaxPool,
+    # pet_cnn.py:17-28).
     s2d_pool: bool = True
 
     @nn.compact
@@ -274,10 +382,23 @@ class ConvBlock3D(nn.Module):
         # fused wins 168 -> 22 ms at cin=1 and 38 -> 23 ms at cin=8, but
         # LOSES at cin>=16 (2.3 -> 8.6 ms: the naive conv already runs at
         # good MXU shapes there and the 8x tap padding dominates).
-        if self.s2d_pool and not self.use_batchnorm \
-                and self.kernel_size % 2 == 1 and x.shape[-1] <= 8:
+        fused = (self.s2d_pool and self.kernel_size % 2 == 1
+                 and x.shape[-1] <= 8)
+        if fused and not self.use_batchnorm:
             x = S2DConvReLUPool(self.features, self.kernel_size,
                                 self.dtype, name="conv")(x)
+        elif fused:
+            b, d, h, w = x.shape[:4]
+            y = S2DConvReLUPool(self.features, self.kernel_size,
+                                self.dtype, parity_out=True,
+                                name="conv")(x)
+            y = ParityBatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype,
+                                torch_stats=self.bn_torch_stats,
+                                name="bn")(
+                y, parity_valid_mask((d, h, w)), b * d * h * w)
+            x = parity_pool(nn.relu(y), (d, h, w))
         else:
             x = nn.Conv(self.features, (self.kernel_size,) * 3,
                         padding="SAME", dtype=self.dtype, name="conv")(x)

@@ -71,6 +71,74 @@ def test_fused_gradients_match(spatial, cin, features, kernel):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("torch_stats", [False, True])
+@pytest.mark.parametrize("spatial,cin,features,kernel", CASES[:3])
+def test_bn_fused_matches_naive(spatial, cin, features, kernel,
+                                torch_stats):
+    """BatchNorm blocks fuse too: ParityBatchNorm's masked moments over
+    the parity_out layout equal the naive path's full pre-pool stats —
+    outputs, updated running stats (both EMA conventions), and eval mode
+    all match, on the same variable tree."""
+    if cin > 8:
+        pytest.skip("fused path only engages at cin <= 8")
+    rng = np.random.default_rng(hash((spatial, cin, torch_stats)) % 2**31)
+    x = jnp.asarray(rng.normal(size=(2,) + spatial + (cin,))
+                    .astype(np.float32))
+    fused = ConvBlock3D(features, kernel, use_batchnorm=True,
+                        dtype=jnp.float32, s2d_pool=True,
+                        bn_torch_stats=torch_stats)
+    naive = ConvBlock3D(features, kernel, use_batchnorm=True,
+                        dtype=jnp.float32, s2d_pool=False,
+                        bn_torch_stats=torch_stats)
+    v = naive.init(jax.random.PRNGKey(0), x, train=False)
+    v_f = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_f))
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_n, mut_n = naive.apply(v, x, train=True, mutable=["batch_stats"])
+    out_f, mut_f = fused.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_n),
+                    jax.tree_util.tree_leaves(mut_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fused.apply(v, x, train=False)),
+                               np.asarray(naive.apply(v, x, train=False)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bn_fused_gradients_match():
+    spatial, cin, features, kernel = CASES[0][:4]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2,) + spatial + (cin,))
+                    .astype(np.float32))
+    fused = ConvBlock3D(features, kernel, use_batchnorm=True,
+                        dtype=jnp.float32, s2d_pool=True)
+    naive = ConvBlock3D(features, kernel, use_batchnorm=True,
+                        dtype=jnp.float32, s2d_pool=False)
+    v = naive.init(jax.random.PRNGKey(0), x, train=True)
+    out0, _ = naive.apply(v, x, train=True, mutable=["batch_stats"])
+    cot = jnp.asarray(rng.normal(size=out0.shape).astype(np.float32))
+
+    def loss(mod):
+        def f(params, xx):
+            out, _ = mod.apply(params, xx, train=True,
+                               mutable=["batch_stats"])
+            return jnp.vdot(out, cot)
+        return f
+
+    g_f = jax.grad(loss(fused), argnums=(0, 1))(v, x)
+    g_n = jax.grad(loss(naive), argnums=(0, 1))(v, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_pet_cnn_paths_share_checkpoints_and_match():
     """SmallPETCNN outputs are path-independent; one variable tree serves
     both the fused and naive paths (checkpoint interop both ways)."""
@@ -90,7 +158,18 @@ def test_pet_cnn_paths_share_checkpoints_and_match():
     np.testing.assert_allclose(np.asarray(out_fast["logits"]),
                                np.asarray(out_slow["logits"]),
                                rtol=1e-5, atol=1e-6)
-    # BN blocks keep the naive path (stats need the full pre-pool tensor)
-    bn_model = SmallPETCNN.from_hparams({**hp, "batchnorm": True})
-    vb = bn_model.init(jax.random.PRNGKey(0), batch, train=False)
-    assert "bn" in vb["params"]["convs"]["block_0"]
+    # BN models share one tree across paths too (ParityBatchNorm's
+    # variable tree matches nn.BatchNorm)
+    for s2d in (True, False):
+        bn_model = SmallPETCNN.from_hparams({**hp, "batchnorm": True},
+                                            s2d_pool=s2d)
+        vb = bn_model.init(jax.random.PRNGKey(0), batch, train=False)
+        assert "bn" in vb["params"]["convs"]["block_0"]
+        assert "bn" in vb["batch_stats"]["convs"]["block_0"]
+    bn_fast = SmallPETCNN.from_hparams({**hp, "batchnorm": True})
+    bn_slow = SmallPETCNN.from_hparams({**hp, "batchnorm": True},
+                                       s2d_pool=False)
+    np.testing.assert_allclose(
+        np.asarray(bn_fast.apply(vb, batch, train=False)["logits"]),
+        np.asarray(bn_slow.apply(vb, batch, train=False)["logits"]),
+        rtol=1e-5, atol=1e-6)
