@@ -81,6 +81,41 @@ def sample_hparams(trial, n_classes: int = 2) -> dict:
     return hparams
 
 
+def percentile_normalizer(dataset, raw_train: dict, raw_val: dict):
+    """Per-bucket renormalization of collated raw splits at a searched q.
+
+    Returns ``normalized(q) -> (train_data, val_data)`` for the vectorized
+    HPO path. Two properties matter:
+
+    * The memoized ``mri_qminmax`` sidecars in the collated arrays were
+      computed at the dataset's *build-time* quantile and the device
+      preprocess prefers them over a fresh selection (dataset.py) — they
+      are stripped here so the searched ``norm_percentile`` is actually
+      honored (one full quantile selection per bucket, not per step, so
+      the memo would buy nothing on this path anyway).
+    * One percentile is kept resident at a time (4 x ~GB splits would not
+      all fit in HBM); consecutive same-q buckets and later ask-rounds
+      reuse it instead of re-jitting + renormalizing the whole split.
+    """
+    import jax
+
+    raw_train = dict(raw_train)
+    raw_val = dict(raw_val)
+    raw_train.pop("mri_qminmax", None)
+    raw_val.pop("mri_qminmax", None)
+    cache: dict = {}
+
+    def normalized(q):
+        if q not in cache:
+            cache.clear()
+            dataset.quantile = q  # read at closure-build time below
+            pre = jax.jit(dataset.get_device_preprocess())
+            cache[q] = (pre(raw_train), pre(raw_val))
+        return cache[q]
+
+    return normalized
+
+
 def backbone_head_optimizer(hparams: dict, params):
     """Head at lr; backbone frozen or at lr_pretrained
     (anat_cnn.py:111-126)."""
@@ -137,8 +172,6 @@ def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
     """
     study = hpo.create_study(direction="minimize")
     if parallel and parallel > 1:
-        import jax
-
         from multimodal_alzheimer_tpu.train import vmap_hpo
         from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
 
@@ -152,11 +185,7 @@ def optuna_optimization(n_trials: int = 300, timeout: float = 86400,
         # all fit in HBM, and the min-max pass is one cheap kernel).
         raw_train = full_arrays(trainset)
         raw_val = full_arrays(valset)
-
-        def normalized(q):
-            trainset.quantile = q  # read at closure-build time below
-            pre = jax.jit(trainset.get_device_preprocess())
-            return pre(raw_train), pre(raw_val)
+        normalized = percentile_normalizer(trainset, raw_train, raw_val)
 
         def signature(hparams):
             return (int(hparams["resnet_depth"]),

@@ -475,6 +475,51 @@ def test_train_anat_cnn_entrypoint_parallel(tmp_path):
     assert np.isfinite(study.best_value)
 
 
+def test_percentile_normalizer_honors_q(tmp_path):
+    """The searched norm_percentile must actually change the data: the
+    build-time ``mri_qminmax`` memo sidecars would override q inside the
+    device preprocess, so percentile_normalizer strips them; one q stays
+    cached; the fresh selection matches the memo path at the same q."""
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.mri_models import train_anat_cnn
+    from multimodal_alzheimer_tpu.train.driver import build_datasets
+    from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
+
+    write_synthetic_split(str(tmp_path / "data"), n_subjects=(6, 3, 3),
+                          seed=4, volume_shape=(12, 14, 12))
+    old = os.environ.get("MMALZ_DATA_DIR")
+    os.environ["MMALZ_DATA_DIR"] = str(tmp_path / "data")
+    try:
+        trainset, valset = build_datasets(
+            {"n_classes": 2}, ["t1w"],
+            normalize_mri={"per_scan_norm": "min_max"}, quantile=0.99)
+        raw_train = full_arrays(trainset)
+        raw_val = full_arrays(valset)
+        assert "mri_qminmax" in raw_train  # memo sidecars ride the split
+        normalized = train_anat_cnn.percentile_normalizer(
+            trainset, raw_train, raw_val)
+        lo_train, _ = normalized(0.95)
+        again, _ = normalized(0.95)
+        assert again is lo_train  # cached, not renormalized
+        hi_train, _ = normalized(1.0)  # evicts 0.95 (one q resident)
+        assert not np.allclose(np.asarray(lo_train["mri"]),
+                               np.asarray(hi_train["mri"]))
+        # Ground truth: the memoized path at build-time quantile 0.95.
+        trainset95, _ = build_datasets(
+            {"n_classes": 2}, ["t1w"],
+            normalize_mri={"per_scan_norm": "min_max"}, quantile=0.95)
+        memo_train = jax.jit(trainset95.get_device_preprocess())(
+            full_arrays(trainset95))
+        np.testing.assert_allclose(np.asarray(lo_train["mri"]),
+                                   np.asarray(memo_train["mri"]),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        if old is None:
+            os.environ.pop("MMALZ_DATA_DIR", None)
+        else:
+            os.environ["MMALZ_DATA_DIR"] = old
+
+
 def test_train_pet_resnet_entrypoint_parallel(tmp_path):
     """train_pet_resnet_cnn.optuna_optimization(parallel=K): the MRI
     wiring consuming PET volumes (two-group lr_select, fixed z-score
