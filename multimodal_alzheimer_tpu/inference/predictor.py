@@ -27,10 +27,16 @@ class Predictor:
         self.batch_size = batch_size
         self.preprocess = preprocess
 
+        self._serve_only = serve_fn is not None
         if serve_fn is not None:
             def fn(variables, batch):
-                del variables
+                del variables  # quantized/folded graphs bake their params
                 return serve_fn(batch)
+            # Jit the bare serve: threading the unused float tree through
+            # jit would pay per-call pytree flatten/hash of ~100s of MB
+            # on the hot path and keep the float weights resident next to
+            # the closure-baked constants.
+            self._fn = jax.jit(serve_fn)
         else:
             def fn(variables, batch):
                 if preprocess is not None:
@@ -39,16 +45,17 @@ class Predictor:
                 probs = jax.nn.softmax(out["logits"], axis=-1)
                 return {"logits": out["logits"], "probs": probs,
                         "embeddings": out["embeddings"]}
+            self._fn = jax.jit(fn)
 
         self._raw_fn = fn  # un-jitted, for composition (scan/export/bench)
-        self._fn = jax.jit(fn)
         if mesh is not None:
             from multimodal_alzheimer_tpu.parallel import (
                 batch_sharding,
                 replicate,
             )
 
-            self.variables = replicate(variables, mesh)
+            if not self._serve_only:  # serve graphs don't read variables
+                self.variables = replicate(variables, mesh)
             self._shard = batch_sharding(mesh)
         else:
             self._shard = None
@@ -67,7 +74,8 @@ class Predictor:
         padded = self._pad({k: np.asarray(v) for k, v in batch.items()}, n)
         if self._shard is not None:
             padded = jax.device_put(padded, self._shard)
-        out = self._fn(self.variables, padded)
+        out = (self._fn(padded) if self._serve_only
+               else self._fn(self.variables, padded))
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)
 
     def predict(self, dataset_or_batches) -> dict:

@@ -44,6 +44,11 @@ class BatchingServer:
         self._q: queue.Queue = queue.Queue()
         self._spec: Optional[dict] = None  # key -> (shape, dtype)
         self._spec_lock = threading.Lock()
+        # Serializes the closed-check+enqueue against close()'s
+        # closed-set+sentinel: without it a submit that passed the check
+        # could land behind the sentinel and its future would never
+        # resolve.
+        self._submit_lock = threading.Lock()
         self._closed = False
         self.batches_served = 0
         self.samples_served = 0
@@ -58,12 +63,13 @@ class BatchingServer:
         Returns a Future resolving to ``{'logits': (C,), 'probs': (C,),
         'embeddings': {tap: (...)}}`` for this sample alone.
         """
-        if self._closed:
-            raise RuntimeError("server is closed")
         sample = {k: np.asarray(v) for k, v in sample.items()}
         self._validate(sample)
         future: Future = Future()
-        self._q.put((sample, future))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put((sample, future))
         return future
 
     def _validate(self, sample: dict) -> None:
@@ -85,15 +91,20 @@ class BatchingServer:
 
     def close(self, drain: bool = True) -> None:
         """Stop accepting work; by default serve what's already queued."""
-        self._closed = True
-        if not drain:
-            try:
-                while True:
-                    _, future = self._q.get_nowait()
-                    future.set_exception(RuntimeError("server closed"))
-            except queue.Empty:
-                pass
-        self._q.put(None)  # sentinel wakes the worker
+        with self._submit_lock:
+            already = self._closed
+            self._closed = True
+            if not already:
+                if not drain:
+                    try:
+                        while True:
+                            _, future = self._q.get_nowait()
+                            if future.set_running_or_notify_cancel():
+                                future.set_exception(
+                                    RuntimeError("server closed"))
+                    except queue.Empty:
+                        pass
+                self._q.put(None)  # sentinel wakes the worker
         self._worker.join()
 
     def __enter__(self):
@@ -126,6 +137,13 @@ class BatchingServer:
             self._serve(pending)
 
     def _serve(self, pending: list) -> None:
+        # Claim each future before computing: a client may have cancelled
+        # a queued request (e.g. its own timeout) — set_result on a
+        # cancelled future raises InvalidStateError and would kill the
+        # worker loop for good. Claimed futures are RUNNING and can no
+        # longer be cancelled, so the deliveries below cannot raise.
+        pending = [(s, f) for s, f in pending
+                   if f.set_running_or_notify_cancel()]
         if not pending:
             return
         samples = [s for s, _ in pending]

@@ -133,6 +133,38 @@ def test_batch_failure_is_isolated():
     assert server.batches_served == 1  # failed batch not counted
 
 
+def test_cancelled_future_does_not_kill_worker():
+    """A client cancelling its queued request must not break delivery:
+    set_result on a cancelled future raises InvalidStateError, which
+    would kill the worker loop and hang every later submission."""
+    pred = _predictor(batch_size=4)
+    server = BatchingServer(pred, max_wait_s=0.2)
+    futures = [server.submit({"tabular": np.zeros(9, np.float32)})
+               for _ in range(3)]
+    won = futures[1].cancel()  # False only if the worker claimed it first
+    for i, f in enumerate(futures):
+        if i == 1 and won:
+            assert f.cancelled()
+        else:
+            assert f.result(timeout=60)["logits"].shape == (3,)
+    # The worker survived the cancelled delivery: later requests serve.
+    late = server.submit({"tabular": np.zeros(9, np.float32)})
+    assert late.result(timeout=60)["logits"].shape == (3,)
+    server.close()
+
+
+def test_submit_after_close_raises_and_close_is_idempotent():
+    pred = _predictor()
+    server = BatchingServer(pred, max_wait_s=0.01)
+    server.close()
+    try:
+        server.submit({"tabular": np.zeros(9, np.float32)})
+        raise AssertionError("submit accepted after close")
+    except RuntimeError as e:
+        assert "closed" in str(e)
+    server.close()  # second close: no second sentinel, no deadlock
+
+
 def test_close_without_drain_rejects_queued():
     pred = _predictor(batch_size=8)
     server = BatchingServer(pred, max_wait_s=30.0)
