@@ -314,7 +314,11 @@ def measure_all_configs(only=None):
     w = [0.4, 0.3, 0.3]
     results = {}
 
-    want = (lambda name: only is None or name in only)
+    known: set = set()  # every config name queried below
+
+    def want(name):
+        known.add(name)
+        return only is None or name in only
 
     b = 4096
     if want("tabular_mlp"):
@@ -474,6 +478,12 @@ def measure_all_configs(only=None):
                                     .astype(np.float32)),
              "label": labels(b)}, w, pre_both,
             optimizer=fusion_optimizer(hp_frozen, ("stage3out", "cls3")))
+    if only:
+        unknown = only - known
+        if unknown:  # a typo would otherwise "succeed" measuring nothing
+            raise SystemExit(
+                f"--only: unknown config(s) {sorted(unknown)}; "
+                f"known: {sorted(known)}")
     return results
 
 
@@ -481,6 +491,9 @@ def main():
     only = None
     for i, arg in enumerate(sys.argv):
         if arg == "--only":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit(
+                    "--only requires a comma-separated config list")
             only = set(sys.argv[i + 1].split(","))
         elif arg.startswith("--only="):
             only = set(arg.split("=", 1)[1].split(","))

@@ -376,6 +376,46 @@ def folded_backbone_apply(folded: dict, x: jnp.ndarray, *, depth=18,
 # Whole-model serving fn (AnatCNN: int8 backbone + f32 head)
 # --------------------------------------------------------------------------
 
+def _anat_head_and_vars(model, variables: dict):
+    """Rebuild the f32 classifier head + its variables from an AnatCNN.
+
+    One definition shared by the int8 and folded serve builders: the head
+    is reconstructed from 9 model attributes, and constructing it in two
+    places already bit us once (bn_torch_stats had to be threaded into
+    both) — any new head hparam must flow through here.
+    """
+    from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
+
+    head = ClassifierHead3D(
+        n_classes=model.n_classes, conv_out=tuple(model.conv_out),
+        filter_size=tuple(model.filter_size),
+        linear_out=tuple(model.linear_out),
+        batchnorm_begin=model.batchnorm_begin,
+        batchnorm_conv=model.batchnorm_conv,
+        batchnorm_dense=model.batchnorm_dense,
+        trailing_relu=model.trailing_relu,
+        bn_torch_stats=model.bn_torch_stats)
+    head_vars = {"params": variables["params"]["head"]}
+    stats = variables.get("batch_stats", {})
+    if "head" in stats:
+        head_vars["batch_stats"] = stats["head"]
+    return head, head_vars
+
+
+def _make_vol(model, preprocess, dtype):
+    """batch dict -> preprocessed (B,D,H,W,1) volume in ``dtype``."""
+
+    def _vol(batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
+        x = batch[model.input_key]
+        if x.ndim == 4:
+            x = x[..., None]
+        return x.astype(dtype)
+
+    return _vol
+
+
 def quantize_anat_cnn(model, variables: dict, calib_batches,
                       preprocess=None, stem_s2d=None):
     """(AnatCNN, trained variables) -> (serve_fn, qtree).
@@ -392,18 +432,9 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
     this is purely a serving-performance knob — the s2d relayout costs
     ~3.6 ms of unfused int8 passes at batch 128 (BASELINE.md).
     """
-    from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
-
     depth = model.resnet_depth
     folded = fold_backbone(variables, depth)
-
-    def _vol(batch):
-        if preprocess is not None:
-            batch = preprocess(batch)
-        x = batch[model.input_key]
-        if x.ndim == 4:
-            x = x[..., None]
-        return x.astype(jnp.float32)
+    _vol = _make_vol(model, preprocess, jnp.float32)
 
     vols = [_vol(b) for b in calib_batches]
     if stem_s2d is None:
@@ -416,20 +447,7 @@ def quantize_anat_cnn(model, variables: dict, calib_batches,
                                 dilated=model.dilated, stem_s2d=stem_s2d)
     qtree = quantize_backbone(folded, absmax, depth=depth,
                               dilated=model.dilated, stem_s2d=stem_s2d)
-
-    head = ClassifierHead3D(
-        n_classes=model.n_classes, conv_out=tuple(model.conv_out),
-        filter_size=tuple(model.filter_size),
-        linear_out=tuple(model.linear_out),
-        batchnorm_begin=model.batchnorm_begin,
-        batchnorm_conv=model.batchnorm_conv,
-        batchnorm_dense=model.batchnorm_dense,
-        trailing_relu=model.trailing_relu,
-        bn_torch_stats=model.bn_torch_stats)
-    head_vars = {"params": variables["params"]["head"]}
-    stats = variables.get("batch_stats", {})
-    if "head" in stats:
-        head_vars["batch_stats"] = stats["head"]
+    head, head_vars = _anat_head_and_vars(model, variables)
 
     def serve_fn(batch):
         fmap = int8_backbone_apply(qtree, _vol(batch))
@@ -453,33 +471,11 @@ def fold_anat_cnn(model, variables: dict, preprocess=None,
     roofline there — BASELINE.md serve budget), so this is the fastest
     *float* serving path.
     """
-    from multimodal_alzheimer_tpu.models.heads import ClassifierHead3D
-
     depth = model.resnet_depth
     folded = jax.tree_util.tree_map(
         lambda a: a.astype(dtype), fold_backbone(variables, depth))
-
-    def _vol(batch):
-        if preprocess is not None:
-            batch = preprocess(batch)
-        x = batch[model.input_key]
-        if x.ndim == 4:
-            x = x[..., None]
-        return x.astype(dtype)
-
-    head = ClassifierHead3D(
-        n_classes=model.n_classes, conv_out=tuple(model.conv_out),
-        filter_size=tuple(model.filter_size),
-        linear_out=tuple(model.linear_out),
-        batchnorm_begin=model.batchnorm_begin,
-        batchnorm_conv=model.batchnorm_conv,
-        batchnorm_dense=model.batchnorm_dense,
-        trailing_relu=model.trailing_relu,
-        bn_torch_stats=model.bn_torch_stats)
-    head_vars = {"params": variables["params"]["head"]}
-    stats = variables.get("batch_stats", {})
-    if "head" in stats:
-        head_vars["batch_stats"] = stats["head"]
+    _vol = _make_vol(model, preprocess, dtype)
+    head, head_vars = _anat_head_and_vars(model, variables)
 
     def serve_fn(batch):
         x = _vol(batch)
