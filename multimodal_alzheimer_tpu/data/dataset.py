@@ -132,7 +132,7 @@ class MultiModalDataset:
         self.memoize_minmax = bool(
             memoize_minmax and self.normalize_mri
             and self.normalize_mri.get("per_scan_norm") == "min_max")
-        self._minmax_memo: Dict[int, np.ndarray] = {}
+        self._minmax_memo: Dict[tuple, np.ndarray] = {}
 
     def _load_volume(self, path):
         if self._cache is not None:
@@ -149,7 +149,12 @@ class MultiModalDataset:
         In-memory per instance; persisted as a tiny sidecar next to the
         volume cache when ``cache_dir`` is configured.
         """
-        memo = self._minmax_memo.get(index)
+        # Keyed by (index, quantile): ``quantile`` is a mutable attribute
+        # (e.g. the HPO path's percentile_normalizer rebinds it per
+        # bucket) and an index-only memo would silently keep serving
+        # bounds computed at the old percentile.
+        memo_key = (index, float(self.quantile))
+        memo = self._minmax_memo.get(memo_key)
         if memo is not None:
             return memo
         entry = None
@@ -185,7 +190,7 @@ class MultiModalDataset:
                 tmp = entry.with_suffix(".tmp.npy")
                 np.save(tmp, memo)
                 os.replace(tmp, entry)  # atomic vs concurrent writers
-        self._minmax_memo[index] = memo
+        self._minmax_memo[memo_key] = memo
         return memo
 
     # ------------------------------------------------------------------ #

@@ -556,17 +556,21 @@ def _s2d_pool_input(x):
 
 
 def _pet_block_specs(model, variables):
-    """Per-block serving plan. ``fused`` uses the parity decomposition —
-    eligible whenever the training path would be (odd kernel, no BN,
-    C_in <= 8, layers.ConvBlock3D's measured crossover); it is exact, so
-    serving applies it regardless of the model's ``s2d_pool`` training
-    knob."""
+    """Per-block serving plan. ``fused`` uses the parity decomposition
+    (odd kernel, C_in <= 8 — layers.ConvBlock3D's measured crossover);
+    it is exact, so serving applies it regardless of the model's
+    ``s2d_pool`` training knob. BatchNorm does not opt a block out:
+    ``fold_pet_tower`` collapses eval-mode BN into the conv kernel+bias
+    first, leaving exactly the conv'-relu-pool form the decomposition
+    handles — without this, BN towers would serve through the naive
+    small-C_in stride-1 3D conv XLA emits ~8-20x above roofline
+    (models/layers.py)."""
     specs = []
     params = variables["params"]["convs"]
     for i, (f, k) in enumerate(zip(model.conv_out, model.filter_size)):
         name = f"block_{i}"
         cin = int(params[name]["conv"]["kernel"].shape[3])
-        fused = (not model.batchnorm) and k % 2 == 1 and cin <= 8
+        fused = k % 2 == 1 and cin <= 8
         specs.append({"name": name, "features": int(f), "k": int(k),
                       "cin": cin, "fused": fused})
     return specs
@@ -679,15 +683,7 @@ def quantize_pet_cnn(model, variables: dict, calib_batches,
     """
     specs = _pet_block_specs(model, variables)
     folded = fold_pet_tower(model, variables, specs)
-
-    def _vol(batch):
-        if preprocess is not None:
-            batch = preprocess(batch)
-        x = batch[model.input_key]
-        if x.ndim == 4:
-            x = x[..., None]
-        return x.astype(jnp.float32)
-
+    _vol = _make_vol(model, preprocess, jnp.float32)
     calib_tree = _pet_calib_tree(folded, specs)
 
     @jax.jit

@@ -152,16 +152,23 @@ class BatchingServer:
             batch = {k: np.stack([s[k] for s in samples])
                      for k in samples[0]}
             out = self.predictor.predict_batch(batch)
+            # Per-sample results built inside the try: a serve core with
+            # a different output shape (e.g. an exported artifact without
+            # embedding taps) must fail this batch, not kill the worker.
+            # 'embeddings' is optional — exported float/folded/int8
+            # graphs return only {'logits', 'probs'}.
+            results = [{
+                "logits": out["logits"][i],
+                "probs": out["probs"][i],
+                "embeddings": {k: v[i]
+                               for k, v in out.get("embeddings",
+                                                   {}).items()},
+            } for i in range(len(futures))]
         except Exception as e:  # model/device failure: fail this batch only
             for future in futures:
                 future.set_exception(e)
             return
         self.batches_served += 1
         self.samples_served += len(futures)
-        for i, future in enumerate(futures):
-            future.set_result({
-                "logits": out["logits"][i],
-                "probs": out["probs"][i],
-                "embeddings": {k: v[i]
-                               for k, v in out["embeddings"].items()},
-            })
+        for future, result in zip(futures, results):
+            future.set_result(result)

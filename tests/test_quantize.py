@@ -422,6 +422,34 @@ def test_pet_calib_graph_matches_float():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_pet_calib_graph_matches_float_bn():
+    """BN blocks through the FUSED calib graph: eval-mode BN folds into
+    conv kernel+bias before the parity decomposition, so the folded f32
+    graph must reproduce the float model's eval logits exactly (not just
+    within int8 drift bounds)."""
+    model, variables, batch = _pet_model_and_batch(
+        {"conv_out": (4, 8), "filter_size": (5, 3), "batchnorm": True,
+         "linear_out": 8})
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * jnp.abs(
+            jax.random.normal(jax.random.PRNGKey(2), a.shape)),
+        variables["batch_stats"])
+    specs = Q._pet_block_specs(model, variables)
+    assert all(sp["fused"] for sp in specs)
+    tree = Q._pet_calib_tree(Q.fold_pet_tower(model, variables, specs),
+                             specs)
+    fmap = Q._pet_tower_forward(tree, batch["pet1451"][..., None],
+                                Q._CalibCtx(), specs)
+    p = variables["params"]
+    h = jnp.mean(fmap, axis=(1, 2, 3))
+    h = jax.nn.relu(h @ p["hidden"]["kernel"] + p["hidden"]["bias"])
+    logits = h @ p["cls"]["kernel"] + p["cls"]["bias"]
+    ref = model.apply(variables, batch, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_int8_pet_cnn_drift_bounded():
     model, variables, batch = _pet_model_and_batch()
     serve, qtree = Q.quantize_pet_cnn(model, variables, [batch])
@@ -436,8 +464,10 @@ def test_int8_pet_cnn_drift_bounded():
 
 
 def test_int8_pet_cnn_bn_folds():
-    """batchnorm=True PET towers: every block takes the naive conv path
-    with the conv bias + BN folded exactly."""
+    """batchnorm=True PET towers: BN folds into the conv kernel+bias
+    first, so small-C_in blocks still take the FUSED parity-decomposed
+    path (BN towers previously fell back to the naive conv XLA emits
+    ~8-20x above roofline) — drift stays bounded through it."""
     model, variables, batch = _pet_model_and_batch(
         {"conv_out": (4, 8), "filter_size": (5, 3), "batchnorm": True})
     variables = dict(variables)
@@ -446,7 +476,7 @@ def test_int8_pet_cnn_bn_folds():
             jax.random.normal(jax.random.PRNGKey(1), a.shape)),
         variables["batch_stats"])
     specs = Q._pet_block_specs(model, variables)
-    assert not any(sp["fused"] for sp in specs)
+    assert all(sp["fused"] for sp in specs)  # cin 1 and 4, odd kernels
     serve, _ = Q.quantize_pet_cnn(model, variables, [batch])
     err = Q.quantization_error(model, variables, serve, batch)
     assert err["argmax_agree"] == 1.0, err

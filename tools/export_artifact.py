@@ -358,6 +358,13 @@ def main(argv=None):
     if args.calib:
         with np.load(args.calib) as z:
             calib = [{k: z[k] for k in z.files}]
+        rows = len(next(iter(calib[0].values())))
+        if rows < args.batch:
+            # A short npz would silently compile the artifact at the
+            # smaller batch while the summary still claimed --batch.
+            raise SystemExit(
+                f"--calib holds {rows} rows < --batch {args.batch}; "
+                f"the artifact's serving signature is fixed at export")
         example = {k: v[:args.batch] for k, v in calib[0].items()}
     else:
         calib = [example]
