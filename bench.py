@@ -312,7 +312,24 @@ def measure_all_configs(only=None):
     mri_hp = {"n_classes": 3, "resnet_depth": 18, "linear_out": ()}
     tab_hp = {"n_classes": 3, "hidden": (256, 1024)}
     w = [0.4, 0.3, 0.3]
-    results = {}
+
+    class _StreamingResults(dict):
+        """Streams each config's number to stderr the moment it lands.
+
+        A full ``--all`` run can take >1 h through the degrading axon
+        tunnel (CLAUDE.md); without streaming, a timeout lost every
+        completed measurement because the summary prints only at the
+        end. One JSON line per config, flushed immediately — a killed
+        run's log still holds every finished number.
+        """
+
+        def __setitem__(self, name, value):
+            super().__setitem__(name, value)
+            print(json.dumps({"config": name, "value": round(value, 1),
+                              "unit": "samples/s/chip (train)"}),
+                  file=sys.stderr, flush=True)
+
+    results = _StreamingResults()
 
     known: set = set()  # every config name queried below
 

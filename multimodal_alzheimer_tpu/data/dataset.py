@@ -152,8 +152,16 @@ class MultiModalDataset:
         # Keyed by (index, quantile): ``quantile`` is a mutable attribute
         # (e.g. the HPO path's percentile_normalizer rebinds it per
         # bucket) and an index-only memo would silently keep serving
-        # bounds computed at the old percentile.
-        memo_key = (index, float(self.quantile))
+        # bounds computed at the old percentile. Entries for other
+        # quantiles are evicted when the quantile changes — a sweep over
+        # many percentiles would otherwise accumulate one dead (2,)
+        # entry per (sample, percentile) pair forever (sidecar files on
+        # disk persist; only the in-memory map is pruned).
+        q = float(self.quantile)
+        if self._minmax_memo and next(iter(self._minmax_memo))[1] != q:
+            self._minmax_memo = {k: v for k, v in self._minmax_memo.items()
+                                 if k[1] == q}
+        memo_key = (index, q)
         memo = self._minmax_memo.get(memo_key)
         if memo is not None:
             return memo

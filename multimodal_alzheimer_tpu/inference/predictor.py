@@ -79,7 +79,14 @@ class Predictor:
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)
 
     def predict(self, dataset_or_batches) -> dict:
-        """Iterate batches (or an indexable dataset) and concatenate."""
+        """Iterate batches (or an indexable dataset) and concatenate.
+
+        Degrades gracefully on serve cores without embedding taps
+        (exported float/folded/int8 StableHLO artifacts return only
+        ``{'logits','probs'}`` — same contract ``server.py`` honors):
+        the result carries an empty ``embeddings`` dict. An empty
+        dataset yields empty ``(0,)`` arrays rather than an error.
+        """
         from multimodal_alzheimer_tpu.data.pipeline import DataLoader
 
         if hasattr(dataset_or_batches, "__getitem__"):
@@ -92,11 +99,14 @@ class Predictor:
             batch = dict(batch)
             batch.pop("label", None)
             outs.append(self.predict_batch(batch))
+        if not outs:
+            empty = np.zeros((0,), np.float32)
+            return {"logits": empty, "probs": empty, "embeddings": {}}
         return {
             "logits": np.concatenate([o["logits"] for o in outs]),
             "probs": np.concatenate([o["probs"] for o in outs]),
             "embeddings": {
                 k: np.concatenate([o["embeddings"][k] for o in outs])
-                for k in outs[0]["embeddings"]
+                for k in outs[0].get("embeddings", {})
             },
         }

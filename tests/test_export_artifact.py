@@ -60,7 +60,8 @@ def test_export_anat_cnn_modes(tmp_path, mode):
     out = tmp_path / f"mri_{mode}.shlo"
     export_artifact.main([
         ckpt, "--model", "anat_cnn", "--mode", mode, "--out", str(out),
-        "--batch", "2", "--volume-shape", "12", "14", "12"])
+        "--batch", "2", "--volume-shape", "12", "14", "12",
+        "--synthetic-calib"])
     assert out.exists() and out.stat().st_size > 1000
 
     # The artifact stands alone: reload and serve a raw (unnormalized)
@@ -87,8 +88,16 @@ def test_export_pet_cnn_int8_and_float(tmp_path):
         out = tmp_path / f"pet_{mode}.shlo"
         export_artifact.main([
             ckpt, "--model", "pet_cnn", "--mode", mode, "--out", str(out),
-            "--batch", "2", "--volume-shape", "17", "18", "16"])
+            "--batch", "2", "--volume-shape", "17", "18", "16",
+            "--synthetic-calib"])
         assert out.exists()
+    # int8 without a calibration set refuses loudly: absmax scales from
+    # synthetic activations silently degrade production accuracy.
+    with pytest.raises(SystemExit, match="calib"):
+        export_artifact.main([
+            ckpt, "--model", "pet_cnn", "--mode", "int8",
+            "--out", str(tmp_path / "y.shlo"),
+            "--batch", "2", "--volume-shape", "17", "18", "16"])
     # folded is meaningless for the BN-free PET tower — clear error.
     with pytest.raises(SystemExit, match="folded"):
         export_artifact.main([
@@ -127,7 +136,7 @@ def test_export_stage2_fusion_folded_and_int8(tmp_path):
         export_artifact.main([
             str(path), "--model", "anat_pet_fusion", "--mode", mode,
             "--out", str(out), "--batch", "2",
-            "--volume-shape", "12", "14", "12"])
+            "--volume-shape", "12", "14", "12", "--synthetic-calib"])
         assert out.exists()
 
 

@@ -47,3 +47,39 @@ def test_predict_with_mesh():
     out = pred.predict_batch({"tabular": rng.normal(size=(10, 9))
                               .astype(np.float32)})
     assert out["logits"].shape == (10, 3)
+
+
+def test_predict_over_exported_artifact():
+    """VERDICT r3 #6: a reloaded StableHLO artifact (no embedding taps,
+    only {'logits','probs'}) must survive the offline predict() loop,
+    matching the live model's logits."""
+    from multimodal_alzheimer_tpu.inference.export import (
+        export_model,
+        load_exported,
+    )
+
+    model, variables = _model_and_vars()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(11, 9)).astype(np.float32)
+    example = {"tabular": jnp.asarray(x[:4])}
+    serve = load_exported(export_model(model, variables, example))
+
+    pred = Predictor(model, variables, batch_size=4, serve_fn=serve)
+    batches = ({"tabular": x[i:i + 4]} for i in range(0, 11, 4))
+    out = pred.predict(batches)
+    assert out["logits"].shape == (11, 3)
+    assert out["embeddings"] == {}
+
+    ref = model.apply(variables, {"tabular": jnp.asarray(x)},
+                      train=False)["logits"]
+    np.testing.assert_allclose(out["logits"], np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_predict_empty_iterable():
+    model, variables = _model_and_vars()
+    pred = Predictor(model, variables, batch_size=4)
+    out = pred.predict(iter(()))
+    assert out["logits"].shape == (0,)
+    assert out["probs"].shape == (0,)
+    assert out["embeddings"] == {}

@@ -14,12 +14,16 @@ the embedded paths). Modes:
   * ``folded`` — BN-folded graph (exact algebra; the fastest float
     serve, BASELINE.md) — families with a Med3D MRI backbone.
   * ``int8``   — PTQ serve (inference/quantize.py): per-out-channel int8
-    weights, int8 activation dataflow, f32 head. Calibration runs on
-    the example batch (synthetic by default; pass ``--calib file.npz``
-    with real raw inputs for production scales). Families with an MRI
-    backbone quantize it; ``pet_cnn``/``pet_resnet`` quantize their own
-    tower; ``--int8-pet`` additionally quantizes the PET tower inside
-    PET-consuming fusions (a measured anti-win on v5e — documented).
+    weights, int8 activation dataflow, f32 head. REQUIRES ``--calib
+    file.npz`` holding representative RAW inputs (>= ``--batch`` rows;
+    a few hundred held-out training samples is plenty — absmax
+    activation scales saturate quickly, but calibrating on
+    non-representative data is exactly how PTQ quietly degrades in
+    production). ``--synthetic-calib`` overrides for tests/demos.
+    Families with an MRI backbone quantize it; ``pet_cnn``/
+    ``pet_resnet`` quantize their own tower; ``--int8-pet``
+    additionally quantizes the PET tower inside PET-consuming fusions
+    (a measured anti-win on v5e — documented).
 
 Preprocessing is fused into the artifact from the checkpoint's own
 hparams (quantile min-max at its ``norm_percentile`` for MRI — reference
@@ -325,8 +329,15 @@ def main(argv=None):
                         default=(91, 109, 91), metavar=("D", "H", "W"))
     parser.add_argument("--calib", default=None,
                         help="npz of raw input batches for int8 "
-                             "calibration (keys as the serving batch); "
-                             "default: the synthetic example batch")
+                             "calibration (keys as the serving batch; "
+                             ">= --batch rows of representative held-out "
+                             "data). REQUIRED for --mode int8 unless "
+                             "--synthetic-calib is passed")
+    parser.add_argument("--synthetic-calib", action="store_true",
+                        help="int8 only: knowingly calibrate on the "
+                             "synthetic example batch (tests/demos; "
+                             "activation scales will not match "
+                             "production data)")
     parser.add_argument("--pet-stats", type=float, nargs=2, default=None,
                         metavar=("MEAN", "STD"),
                         help="override the checkpoint's PET split stats")
@@ -358,15 +369,39 @@ def main(argv=None):
     if args.calib:
         with np.load(args.calib) as z:
             calib = [{k: z[k] for k in z.files}]
-        rows = len(next(iter(calib[0].values())))
+        # Validate every batched array's leading dim (a 0-d entry has no
+        # rows; mismatched leading dims would silently mis-slice below).
+        dims = {k: v.shape[0] for k, v in calib[0].items() if v.ndim}
+        if not dims:
+            raise SystemExit("--calib npz holds no batched arrays")
+        if len(set(dims.values())) > 1:
+            raise SystemExit(
+                f"--calib arrays disagree on the leading (batch) dim: "
+                f"{dims}")
+        rows = next(iter(dims.values()))
         if rows < args.batch:
             # A short npz would silently compile the artifact at the
             # smaller batch while the summary still claimed --batch.
             raise SystemExit(
                 f"--calib holds {rows} rows < --batch {args.batch}; "
                 f"the artifact's serving signature is fixed at export")
-        example = {k: v[:args.batch] for k, v in calib[0].items()}
+        example = {k: (v[:args.batch] if v.ndim else v)
+                   for k, v in calib[0].items()}
     else:
+        # Scoped to supported families: unsupported ones get the clearer
+        # "no quantized path" error from _build_serve below.
+        if (args.mode == "int8" and args.model in INT8
+                and not args.synthetic_calib):
+            # absmax activation scales calibrated on non-representative
+            # inputs are exactly how PTQ quietly degrades in production.
+            raise SystemExit(
+                "--mode int8 needs --calib file.npz with representative "
+                "RAW inputs (>= --batch rows, keys as the serving "
+                "batch: a few hundred held-out training samples is "
+                "plenty — absmax scales saturate quickly). To knowingly "
+                "calibrate on the synthetic example batch (tests/demos "
+                "only; activation scales will NOT match production "
+                "data), pass --synthetic-calib.")
         calib = [example]
     example = {k: jnp.asarray(v) for k, v in example.items()}
     calib = [{k: jnp.asarray(v) for k, v in c.items()} for c in calib]
