@@ -16,15 +16,31 @@ import numpy as np
 
 class Predictor:
     def __init__(self, model, variables: dict, batch_size: int = 32,
-                 preprocess=None, mesh=None, serve_fn=None):
+                 preprocess=None, mesh=None, serve_fn=None, ladder=None):
         """``serve_fn`` optionally replaces the model-apply serve core
         with a prebuilt ``batch -> {'logits','probs','embeddings'}``
         function (e.g. the int8 path from ``inference.quantize`` — which
         applies its own preprocessing); padding/sharding/iteration stay
-        identical to the float predictor."""
+        identical to the float predictor.
+
+        ``ladder`` optionally lists additional compiled batch sizes below
+        ``batch_size`` (e.g. ``(8, 32)`` with ``batch_size=128``): a
+        ragged batch pads only to the smallest rung >= its size instead
+        of the full width, so a lone request runs the 8-wide program
+        (~rung/batch_size of the full device time) while bursts still
+        ride the big batch. One XLA executable per rung (jit caches by
+        shape); results are the same per-sample computation at every
+        rung — batch composition never changes a client's numbers. With
+        a mesh, every rung must divide the device count.
+        """
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
+        rungs = sorted({int(r) for r in (ladder or ())} | {int(batch_size)})
+        if rungs[-1] != batch_size:
+            raise ValueError(
+                f"ladder rungs {rungs} exceed batch_size {batch_size}")
+        self.ladder = tuple(rungs)
         self.preprocess = preprocess
 
         self._serve_only = serve_fn is not None
@@ -60,16 +76,37 @@ class Predictor:
         else:
             self._shard = None
 
+    def _pad_target(self, n: int) -> int:
+        """Smallest ladder rung that fits n samples."""
+        for rung in self.ladder:
+            if n <= rung:
+                return rung
+        raise ValueError(f"batch of {n} exceeds batch_size "
+                         f"{self.batch_size}")
+
     def _pad(self, batch: dict, n: int):
-        pad = self.batch_size - n
+        pad = self._pad_target(n) - n
         if pad == 0:
             return batch
         return {k: np.concatenate(
             [v, np.zeros((pad,) + np.shape(v)[1:], np.asarray(v).dtype)])
             for k, v in batch.items()}
 
+    def warmup(self, example_batch: dict) -> None:
+        """Compile every ladder rung up front (one zero-padded call per
+        rung) so no live request pays an XLA compile. ``example_batch``
+        needs >= 1 sample with the serving shapes/dtypes."""
+        one = {k: np.asarray(v)[:1] for k, v in example_batch.items()}
+        for rung in self.ladder:
+            self.predict_batch(
+                {k: np.concatenate([v] * rung) for k, v in one.items()})
+
     def predict_batch(self, batch: dict) -> dict:
-        """One batch dict (any leading size <= batch_size) -> outputs."""
+        """One batch dict (any leading size <= batch_size) -> outputs.
+
+        Pads to the smallest compiled ladder rung that fits (the full
+        ``batch_size`` when no ladder was configured).
+        """
         n = len(next(iter(batch.values())))
         padded = self._pad({k: np.asarray(v) for k, v in batch.items()}, n)
         if self._shard is not None:

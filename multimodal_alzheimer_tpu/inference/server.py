@@ -15,6 +15,12 @@ Semantics:
 * A batch launches when ``predictor.batch_size`` requests are waiting or
   the oldest waiting request has aged ``max_wait_s`` — the standard
   throughput/latency knob.
+* Latency tiering: give the Predictor a batch-size ``ladder`` (e.g.
+  ``(8, 32)`` under ``batch_size=128``) and a deadline batch of k
+  requests runs the smallest compiled rung >= k — a lone request pays
+  an 8-wide program instead of a 128-wide one. Call
+  ``predictor.warmup(example)`` before serving so no live request pays
+  an XLA compile. ``batch_histogram`` records dispatched batch sizes.
 * Results are exactly the single-sample computation: the Predictor pads
   ragged tails and strips padding rows before returning, so batch
   composition never changes a client's numbers.
@@ -52,6 +58,7 @@ class BatchingServer:
         self._closed = False
         self.batches_served = 0
         self.samples_served = 0
+        self.batch_histogram: dict = {}  # dispatched batch size -> count
         self._worker = threading.Thread(target=self._loop, name=name,
                                         daemon=True)
         self._worker.start()
@@ -170,5 +177,7 @@ class BatchingServer:
             return
         self.batches_served += 1
         self.samples_served += len(futures)
+        k = len(futures)
+        self.batch_histogram[k] = self.batch_histogram.get(k, 0) + 1
         for future, result in zip(futures, results):
             future.set_result(result)

@@ -181,3 +181,24 @@ def test_close_without_drain_rejects_queued():
             assert "closed" in str(exc)
         else:
             assert f.result()["logits"].shape == (3,)
+
+
+def test_ladder_lone_request_runs_small_rung():
+    """Latency tiering (VERDICT r3 #1): a lone request through a
+    laddered predictor runs a small compiled rung, and its numbers match
+    the un-laddered full-batch serve at ulp tolerance."""
+    model = TabularMLP.from_hparams({"n_classes": 3, "hidden": (16, 32)})
+    batch = {"tabular": jnp.zeros((2, 9))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    pred = Predictor(model, variables, batch_size=8, ladder=(2, 4))
+    pred.warmup({"tabular": np.zeros((1, 9), np.float32)})
+    flat = Predictor(model, variables, batch_size=8)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 9)).astype(np.float32)
+    ref = flat.predict_batch({"tabular": x})
+    with BatchingServer(pred, max_wait_s=0.01) as server:
+        got = server.submit({"tabular": x[0]}).result(timeout=60)
+    np.testing.assert_allclose(got["logits"], ref["logits"][0],
+                               rtol=1e-6, atol=1e-7)
+    assert server.batch_histogram == {1: 1}
