@@ -91,6 +91,69 @@ def make_manifest_frame(n_subjects: int = 6,
     return pd.DataFrame(rows, columns=MANIFEST_COLUMNS)
 
 
+def make_labeled_volumes(n: int,
+                         shape=(91, 109, 91),
+                         n_classes: int = 3,
+                         seed: int = 0,
+                         contrast: float = 0.8,
+                         modalities=("mri",),
+                         tabular_dim: int = 9) -> dict:
+    """Labeled synthetic volumes with a LEARNABLE class signal.
+
+    Class k brightens the k-th axial slab of the volume by
+    ``1 + contrast`` — a *spatial* pattern chosen because the production
+    preprocessing normalizes each scan (per-scan quantile min-max /
+    z-score, reference dataloader.py:261-270): a global mean shift (the
+    test-suite's SeparableVolumes trick) would be erased by it, while
+    relative regional contrast survives. Used by the serve-path quality
+    harness (inference/quality.py) to measure dataset-level F1/MCC
+    deltas of the optimized serving graphs on a model that has actually
+    learned something.
+
+    Returns a dict of stacked arrays: ``label`` plus, per requested
+    modality, ``mri``+``mri_mask`` (ADNI-like intensities ~N(900,200)),
+    ``pet1451`` (~N(0.5, 0.25)), and/or ``tabular`` ((n, tabular_dim),
+    class-shifted means).
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, n).astype(np.int32)
+    out = {"label": labels}
+    slabs = np.array_split(np.arange(shape[0]), n_classes)
+
+    def brighten(vols):
+        for i, k in enumerate(labels):
+            vols[i, slabs[k]] *= 1.0 + contrast
+        return vols
+
+    if "mri" in modalities:
+        mri = np.abs(rng.normal(900, 200, (n,) + shape)).astype(np.float32)
+        out["mri"] = brighten(mri)
+        out["mri_mask"] = (rng.random((n,) + shape) > 0.35).astype(
+            np.float32)
+    if "pet1451" in modalities:
+        pet = rng.normal(0.5, 0.25, (n,) + shape).astype(np.float32)
+        out["pet1451"] = brighten(pet)
+    if "tabular" in modalities:
+        tab = rng.normal(size=(n, tabular_dim)).astype(np.float32)
+        out["tabular"] = tab + labels[:, None].astype(np.float32)
+    return out
+
+
+class ArrayDataset:
+    """Indexable dataset over ``make_labeled_volumes``-style stacked
+    arrays (the shape DataLoader and the quality harness consume)."""
+
+    def __init__(self, data: dict):
+        self.data = data
+        self.n = len(data["label"])
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {k: v[i] for k, v in self.data.items()}
+
+
 def write_synthetic_split(out_dir: str,
                           n_subjects=(12, 4, 4),
                           seed: int = 0,
