@@ -504,6 +504,139 @@ def measure_all_configs(only=None):
     return results
 
 
+def _pipeline_workspace(n_samples: int):
+    """Synthetic on-disk ADNI-like MRI split at the flagship volume shape
+    (written once per VM; reused across runs). Only t1w rows — the
+    flagship consumes MRI alone, and writing the full three-modality
+    split would gzip ~3x the bytes on this 1-core host for nothing."""
+    import hashlib
+
+    from multimodal_alzheimer_tpu.data.nifti import save_nifti
+    from multimodal_alzheimer_tpu.data.synthetic import MANIFEST_COLUMNS
+
+    import pandas as pd
+
+    tag = hashlib.md5(
+        f"{VOLUME_SHAPE}|{n_samples}|v1".encode()).hexdigest()[:8]
+    root = f"/tmp/mmalz_pipebench_{tag}"
+    csv_path = os.path.join(root, "train_path_data_labels.csv")
+    if os.path.exists(csv_path):
+        return root, csv_path
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    labels = ["CN", "MCI", "Dementia"]
+    for i in range(n_samples):
+        vol = np.abs(rng.normal(900, 400, VOLUME_SHAPE)).astype(np.float32)
+        mask = (rng.random(VOLUME_SHAPE) > 0.35).astype(np.uint8)
+        path = os.path.join(root, "images",
+                            f"sub-{i}_T1w_reg_ants2_MNI_2mm.nii.gz")
+        mask_path = os.path.join(root, "images",
+                                 f"sub-{i}_BrainExtractionMask.nii.gz")
+        save_nifti(path, vol * mask)
+        save_nifti(mask_path, mask)
+        row = {c: np.nan for c in MANIFEST_COLUMNS}
+        row.update({"ID": f"sub-{i}", "ses": "2018-01-01",
+                    "label": labels[i % 3], "path_anat": path,
+                    "path_anat_mask": mask_path})
+        rows.append(row)
+    tmp = csv_path + ".tmp"
+    pd.DataFrame(rows, columns=MANIFEST_COLUMNS).to_csv(tmp, index=False)
+    os.replace(tmp, csv_path)
+    return root, csv_path
+
+
+def measure_pipeline(cache_dtype=None, batch_size: int = 128,
+                     epochs: int = 5, n_samples: int = 384) -> dict:
+    """End-to-end production train throughput: cache -> DataLoader ->
+    H2D -> jitted step (VERDICT r3 #4 — the honest system number next to
+    the device-resident 321 vol/s).
+
+    Steady state: epoch 1 warms the decoded-volume cache + quantile
+    sidecars and pays the XLA compile; epochs 2+ are timed. Each epoch
+    closes with a scalar loss fetch (block_until_ready under-waits
+    through the tunnel; a data fetch drains the stream — CLAUDE.md).
+    Also measures the loader alone (same warm cache, H2D included, no
+    step) so the printed verdict can attribute the gap: feed-bound
+    (loader < step rate) vs step-bound.
+    """
+    import jax
+
+    from multimodal_alzheimer_tpu.data.dataset import MultiModalDataset
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+    from multimodal_alzheimer_tpu.losses import make_criterion
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.train import (
+        TrainState,
+        make_train_step,
+        single_lr_optimizer,
+    )
+
+    import jax.numpy as jnp
+
+    root, csv_path = _pipeline_workspace(n_samples)
+    cache_dir = os.path.join(root, f"cache_{cache_dtype or 'float32'}")
+    ds = MultiModalDataset(
+        path=csv_path, modalities=["t1w"],
+        normalize_mri={"per_scan_norm": "min_max"}, quantile=0.99,
+        cache_dir=cache_dir, cache_dtype=cache_dtype)
+
+    t0 = time.perf_counter()
+    for i in range(len(ds)):
+        ds[i]  # decode into the cache + compute quantile sidecars
+    warm_s = time.perf_counter() - t0
+
+    # loader-only feed rate from the warm cache (collate + H2D included;
+    # the tiny per-batch element fetch bounds the async transfer queue)
+    def loader():
+        return DataLoader(ds, batch_size, shuffle=True, num_workers=2,
+                          drop_last=True)
+
+    n = t = 0
+    for rep in range(2):
+        t0 = time.perf_counter()
+        for batch in loader():
+            float(jnp.sum(batch["mri"][0, 0, 0]))
+            if rep:
+                n += batch_size
+        if rep:
+            t += time.perf_counter() - t0
+    feed_rate = n / t if t else float("nan")
+
+    model = AnatCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
+         "batchnorm_begin": False, "lr": 1e-3}, dtype=jnp.bfloat16)
+    criterion = make_criterion({"loss_class_weights": [0.4, 0.3, 0.3]})
+    optimizer = single_lr_optimizer(1e-3)
+    step = make_train_step(model, criterion, optimizer,
+                           ds.get_device_preprocess())
+    first = next(iter(loader()))
+    variables = model.init(jax.random.PRNGKey(0),
+                           ds.get_device_preprocess()(first), train=False)
+    state = TrainState.create(variables, optimizer)
+    rng = jax.random.PRNGKey(1)
+
+    n = t = 0
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        count = 0
+        for batch in loader():
+            state, aux = step(state, batch, rng)
+            count += batch_size
+        loss = float(aux["loss"])  # drains the device stream
+        assert np.isfinite(loss), loss
+        if epoch:  # epoch 0 warms cache pages + compiles
+            n += count
+            t += time.perf_counter() - t0
+    e2e_rate = n / t
+
+    return {"cache_dtype": cache_dtype or "float32",
+            "warm_pass_s": round(warm_s, 1),
+            "n_samples": len(ds),
+            "feed_only_vol_s": round(feed_rate, 1),
+            "e2e_train_vol_s": round(e2e_rate, 1)}
+
+
 def main():
     only = None
     for i, arg in enumerate(sys.argv):
@@ -514,6 +647,36 @@ def main():
             only = set(sys.argv[i + 1].split(","))
         elif arg.startswith("--only="):
             only = set(arg.split("=", 1)[1].split(","))
+    if "--pipeline" in sys.argv:
+        # End-to-end loader-fed flagship training, f32 and f16 caches,
+        # with host-memory context and bottleneck attribution.
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import bench_host
+
+            host = {k: round(v, 1) for k, v in bench_host.main().items()}
+        except Exception as e:  # noqa: BLE001 - host context is optional
+            print(f"bench_host failed: {e}", file=sys.stderr)
+            host = {}
+        out = {"metric": "pipeline_train_volumes_per_sec_per_chip",
+               "host": host}
+        for dtype in (None, "float16"):
+            r = measure_pipeline(cache_dtype=dtype)
+            out[r["cache_dtype"]] = r
+            print(f"pipeline cache={r['cache_dtype']}: warm pass "
+                  f"{r['warm_pass_s']}s, feed-only "
+                  f"{r['feed_only_vol_s']} vol/s, e2e train "
+                  f"{r['e2e_train_vol_s']} vol/s", file=sys.stderr)
+        step_rate = 321.0  # device-resident flagship number (bench.py)
+        e2e = out["float32"]["e2e_train_vol_s"]
+        feed = out["float32"]["feed_only_vol_s"]
+        out["bottleneck"] = ("feed-bound" if feed < step_rate * 0.95
+                             else "step-bound")
+        print(f"verdict: e2e {e2e} vs device-step ~{step_rate} vol/s, "
+              f"feed-only {feed} -> {out['bottleneck']}", file=sys.stderr)
+        print(json.dumps(out))
+        return
     if "--all" in sys.argv or only:
         all_results = measure_all_configs(only)
         for name, value in all_results.items():

@@ -280,6 +280,38 @@ def classify(op_names, root=None, regions=REGIONS) -> str:
     return max(votes, key=votes.get)
 
 
+def emitter_report(hlo_text: str, meta: dict, region: str | None):
+    """Per-fusion emitter + estimated_cycles rows for one region.
+
+    The round-3 serve audit found flax-eval layer2's conv2+residual
+    fusion emitted via ``EmitAllBatchInSublanes`` at 8x its roofline,
+    with the backend_config's own ``estimated_cycles`` predicting the
+    damage (BASELINE.md "flax-eval layer2 pathology"). This report asks
+    the same question of any compiled graph — VERDICT r3 #7 asks it of
+    the TRAIN step — straight from the compiled HLO, no trace needed.
+    """
+    rows = []
+    for line in hlo_text.splitlines():
+        if "fusion(" not in line:
+            continue
+        m = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=", line)
+        if not m:
+            continue
+        name = m.group(1)
+        om = re.search(r'op_name="([^"]*)"', line)
+        root_op = om.group(1) if om else None
+        comp = meta["fusion_calls"].get(name)
+        reg = classify(meta["comp_ops"].get(comp, []), root=root_op)
+        if region and reg != region:
+            continue
+        emit = re.findall(r"Emit\w+", line)
+        cyc = re.search(r'"?estimated_cycles"?[=:]\s*"?(\d+)', line)
+        rows.append((int(cyc.group(1)) if cyc else 0, reg, name,
+                     root_op or "", sorted(set(emit))))
+    rows.sort(reverse=True)
+    return rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -301,6 +333,11 @@ def main(argv=None):
     ap.add_argument("--filter", default=None,
                     help="print EVERY device event classified into this "
                          "region (e.g. --filter layer3), largest first")
+    ap.add_argument("--emitters", default=None, metavar="REGION",
+                    help="compile-only: print each fusion's emitter tags "
+                         "+ backend_config estimated_cycles for REGION "
+                         "('all' for every region), largest first — the "
+                         "layer2 emitter-pathology check (BASELINE.md)")
     args = ap.parse_args(argv)
 
     import jax
@@ -323,6 +360,21 @@ def main(argv=None):
         with open("/tmp/profile_step_hlo.txt", "w") as f:
             f.write(hlo_text)
         print("HLO dumped to /tmp/profile_step_hlo.txt", file=sys.stderr)
+
+    if args.emitters:
+        region = None if args.emitters == "all" else args.emitters
+        rows = emitter_report(hlo_text, meta, region)
+        # 480 MHz-class TPU cores: cycles -> rough us; print raw cycles
+        # (the serve audit compared cycles, not wall) plus the tags.
+        for cyc, reg, name, root_op, emits in rows[:40]:
+            print(f"{cyc:>12} cyc  {reg:<8} {name:<28} "
+                  f"{','.join(emits) or '-':<28} {root_op}")
+        print(json.dumps({
+            "config": args.config, "region": args.emitters,
+            "fusions": [{"cycles": c, "region": r, "name": n,
+                         "emitters": e, "op": o}
+                        for c, r, n, o, e in rows[:40]]}))
+        return
 
     # Warm up (also populates the compile cache / tunnel session).
     for _ in range(3):
