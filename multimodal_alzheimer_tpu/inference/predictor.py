@@ -42,6 +42,7 @@ class Predictor:
                 f"ladder rungs {rungs} exceed batch_size {batch_size}")
         self.ladder = tuple(rungs)
         self.preprocess = preprocess
+        self._parts_fns: dict = {}  # rung -> jitted on-device-stack serve
 
         self._serve_only = serve_fn is not None
         if serve_fn is not None:
@@ -92,14 +93,68 @@ class Predictor:
             [v, np.zeros((pad,) + np.shape(v)[1:], np.asarray(v).dtype)])
             for k, v in batch.items()}
 
-    def warmup(self, example_batch: dict) -> None:
+    def warmup(self, example_batch: dict, parts: bool = False) -> None:
         """Compile every ladder rung up front (one zero-padded call per
         rung) so no live request pays an XLA compile. ``example_batch``
-        needs >= 1 sample with the serving shapes/dtypes."""
+        needs >= 1 sample with the serving shapes/dtypes. ``parts``
+        additionally compiles the per-rung on-device-stack programs
+        (``predict_parts`` — the online-serving hot path)."""
         one = {k: np.asarray(v)[:1] for k, v in example_batch.items()}
         for rung in self.ladder:
             self.predict_batch(
                 {k: np.concatenate([v] * rung) for k, v in one.items()})
+        if parts:
+            sample = {k: v[0] for k, v in one.items()}
+            for rung in self.ladder:
+                self.predict_parts([sample] * rung)
+
+    def stage_sample(self, sample: dict):
+        """Start this sample's async H2D transfer now (submit time), so
+        it overlaps the batching window instead of serializing into the
+        dispatch. No-op (returns the host sample) under a mesh — sharded
+        placement happens at batch level."""
+        if self._shard is not None:
+            return sample
+        return jax.device_put(sample)
+
+    def predict_parts(self, samples: list) -> dict:
+        """Serve a list of per-sample dicts (no batch axis), stacking —
+        and padding, by repeating the last sample — ON DEVICE inside the
+        rung's compiled program.
+
+        This is the online-serving hot path: ``predict_batch`` pads on
+        the host, so a lone request ships rung x sample_bytes over PCIe
+        (or worse, a remote-TPU tunnel) when only one sample is real.
+        Here only the real samples move (ideally staged already, via
+        ``stage_sample`` at enqueue time) and the stack+pad runs on
+        device. One compiled program per rung (argument arity = rung).
+        Per-sample results are identical to ``predict_batch``'s: padding
+        composition never changes a sample's computation.
+        """
+        n = len(samples)
+        rung = self._pad_target(n)
+        parts = list(samples) + [samples[-1]] * (rung - n)
+        fn = self._parts_fns.get(rung)
+        if fn is None:
+            if self._serve_only:
+                def fn(*parts):
+                    import jax.numpy as jnp
+
+                    batch = {k: jnp.stack([p[k] for p in parts])
+                             for k in parts[0]}
+                    return self._raw_fn(None, batch)
+            else:
+                def fn(variables, *parts):
+                    import jax.numpy as jnp
+
+                    batch = {k: jnp.stack([p[k] for p in parts])
+                             for k in parts[0]}
+                    return self._raw_fn(variables, batch)
+            fn = jax.jit(fn)
+            self._parts_fns[rung] = fn
+        out = (fn(*parts) if self._serve_only
+               else fn(self.variables, *parts))
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)
 
     def predict_batch(self, batch: dict) -> dict:
         """One batch dict (any leading size <= batch_size) -> outputs.

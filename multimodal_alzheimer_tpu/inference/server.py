@@ -72,11 +72,18 @@ class BatchingServer:
         """
         sample = {k: np.asarray(v) for k, v in sample.items()}
         self._validate(sample)
+        # Start the async H2D transfer NOW: it overlaps the batching
+        # window, and the dispatch then moves zero sample bytes — only
+        # real samples ever cross the host->device link (predict_parts
+        # pads on device). Biggest effect where that link is slow
+        # (remote-TPU tunnels: measured 8-16x less traffic per lone
+        # request than host-side rung padding).
+        staged = self.predictor.stage_sample(sample)
         future: Future = Future()
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._q.put((sample, future))
+            self._q.put((staged, future))
         return future
 
     def _validate(self, sample: dict) -> None:
@@ -156,9 +163,15 @@ class BatchingServer:
         samples = [s for s, _ in pending]
         futures = [f for _, f in pending]
         try:
-            batch = {k: np.stack([s[k] for s in samples])
-                     for k in samples[0]}
-            out = self.predictor.predict_batch(batch)
+            if getattr(self.predictor, "_shard", None) is None:
+                # hot path: samples are device-staged; stack+pad runs on
+                # device, the dispatch ships zero sample bytes
+                out = self.predictor.predict_parts(samples)
+            else:
+                # mesh predictors place at batch level (sharded H2D)
+                batch = {k: np.stack([np.asarray(s[k]) for s in samples])
+                         for k in samples[0]}
+                out = self.predictor.predict_batch(batch)
             # Per-sample results built inside the try: a serve core with
             # a different output shape (e.g. an exported artifact without
             # embedding taps) must fail this batch, not kill the worker.

@@ -137,3 +137,44 @@ def test_predict_empty_iterable():
     assert out["logits"].shape == (0,)
     assert out["probs"].shape == (0,)
     assert out["embeddings"] == {}
+
+
+def test_predict_parts_matches_predict_batch():
+    """On-device stack+pad (the online hot path) must reproduce the
+    host-padded path bit-for-bit at every ragged size and rung."""
+    model, variables = _model_and_vars()
+    pred = Predictor(model, variables, batch_size=8, ladder=(2, 4))
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(8, 9)).astype(np.float32)
+    for n in (1, 2, 3, 5, 8):
+        ref = pred.predict_batch({"tabular": x[:n]})
+        samples = [{"tabular": x[i]} for i in range(n)]
+        out = pred.predict_parts(samples)
+        np.testing.assert_allclose(out["logits"], ref["logits"],
+                                   rtol=1e-6, atol=1e-7)
+        # staged (device-resident) samples serve identically
+        import jax as _jax
+
+        out2 = pred.predict_parts(
+            [pred.stage_sample(s) for s in samples])
+        np.testing.assert_array_equal(out2["logits"], out["logits"])
+
+
+def test_predict_parts_serve_only_core():
+    model, variables = _model_and_vars()
+
+    def serve(batch):
+        out = model.apply(variables, batch, train=False)
+        import jax.numpy as jnp
+
+        return {"logits": out["logits"],
+                "probs": jax.nn.softmax(out["logits"], -1)}
+
+    pred = Predictor(None, None, batch_size=4, serve_fn=serve)
+    pred.warmup({"tabular": np.zeros((1, 9), np.float32)}, parts=True)
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(3, 9)).astype(np.float32)
+    out = pred.predict_parts([{"tabular": x[i]} for i in range(3)])
+    ref = pred.predict_batch({"tabular": x})
+    np.testing.assert_allclose(out["logits"], ref["logits"],
+                               rtol=1e-6, atol=1e-7)

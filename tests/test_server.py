@@ -111,15 +111,15 @@ def test_submit_validates_shape_and_keys():
 def test_batch_failure_is_isolated():
     pred = _predictor()
     calls = {"n": 0}
-    real = pred.predict_batch
+    real = pred.predict_parts  # the server's hot path (on-device stack)
 
-    def flaky(batch):
+    def flaky(samples):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected device failure")
-        return real(batch)
+        return real(samples)
 
-    pred.predict_batch = flaky
+    pred.predict_parts = flaky
     server = BatchingServer(pred, max_wait_s=0.01)
     bad = server.submit({"tabular": np.zeros(9, np.float32)})
     try:

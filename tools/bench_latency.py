@@ -228,7 +228,7 @@ def main(argv=None):
         for name, serve in cores.items():
             pred = Predictor(None, None, batch_size=top, serve_fn=serve,
                              ladder=ladder)
-            pred.warmup(warm)
+            pred.warmup(warm, parts=True)
             for load in loads:
                 _run_load(pred, load, args.seconds,
                           args.max_wait_ms / 1000, results,
@@ -237,7 +237,7 @@ def main(argv=None):
             # rung, showing what tiering buys at low load
             pred_flat = Predictor(None, None, batch_size=top,
                                   serve_fn=serve)
-            pred_flat.warmup(warm)
+            pred_flat.warmup(warm, parts=True)
             _run_load(pred_flat, loads[0], args.seconds,
                       args.max_wait_ms / 1000, results,
                       f"{name}_noladder", host)
