@@ -96,6 +96,7 @@ def make_labeled_volumes(n: int,
                          n_classes: int = 3,
                          seed: int = 0,
                          contrast: float = 0.8,
+                         contrast_jitter: float = 0.0,
                          modalities=("mri",),
                          tabular_dim: int = 9) -> dict:
     """Labeled synthetic volumes with a LEARNABLE class signal.
@@ -119,10 +120,17 @@ def make_labeled_volumes(n: int,
     labels = rng.integers(0, n_classes, n).astype(np.int32)
     out = {"label": labels}
     slabs = np.array_split(np.arange(shape[0]), n_classes)
+    # Per-sample contrast jitter makes difficulty heterogeneous: samples
+    # drawn near zero contrast are genuinely ambiguous (irreducible
+    # error), keeping trained margins moderate — without it large
+    # volumes make the task trivially separable and every serve-path
+    # metric saturates, hiding deltas the quality study exists to see.
+    per_sample = np.clip(
+        rng.normal(contrast, contrast_jitter, n), 0.0, None)
 
     def brighten(vols):
         for i, k in enumerate(labels):
-            vols[i, slabs[k]] *= 1.0 + contrast
+            vols[i, slabs[k]] *= 1.0 + per_sample[i]
         return vols
 
     if "mri" in modalities:

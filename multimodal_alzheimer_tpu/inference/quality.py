@@ -64,6 +64,7 @@ def evaluate_serve(serve, data: dict, n_classes: int,
         "balanced_acc": float(balanced_accuracy(cm)),
         "confusion": np.asarray(cm),
         "preds": preds,
+        "pred_counts": np.bincount(preds, minlength=n_classes).tolist(),
         "probs": np.concatenate(probs),
         "n": int(len(preds)),
     }

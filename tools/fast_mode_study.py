@@ -74,7 +74,8 @@ def main(argv=None):
 
     def normed(n, seed):
         data = make_labeled_volumes(n, shape, seed=seed,
-                                    contrast=args.contrast)
+                                    contrast=args.contrast,
+                                    contrast_jitter=args.contrast)
         mri = batched_normalize_mri(
             jnp.asarray(data["mri"]), jnp.asarray(data["mri_mask"]),
             {"per_scan_norm": "min_max"}, 0.99)
@@ -100,8 +101,10 @@ def main(argv=None):
 
     results = {}
     for arch, dilated in (("dilated", True), ("fast", False)):
+        # trailing_relu OFF: the parity quirk's clamped-logit dead
+        # gradients wreck short synthetic fits (see tools/quality_eval.py)
         model = AnatCNN.from_hparams(hp_model, dtype=jnp.bfloat16,
-                                     dilated=dilated)
+                                     dilated=dilated, trailing_relu=False)
         t0 = time.perf_counter()
         last, info = vmap_hpo.run_parallel_trials(
             model, hp, train_data, val_data, batch_size=args.batch,

@@ -65,7 +65,13 @@ def _train_model(model, hparams, train_data, eval_data, preprocess,
     val_loader = _loader(eval_data, hparams["batch_size"], False)
     state = trainer.init_state(next(iter(train_loader)))
     state, last_val = trainer.fit(state, train_loader, val_loader)
-    print(f"trained: last val loss {last_val:.4f}", file=sys.stderr)
+    # The trainer's own eval F1 anchors the serve-path comparison: if
+    # compare_serve_cores disagrees with this number, the harness (not
+    # the model) is broken.
+    metrics = trainer._run_eval_epoch(state, val_loader, prefix="val")
+    print(f"trained: last val loss {last_val:.4f}, "
+          f"trainer eval F1 {metrics['val_f1_epoch']:.4f}",
+          file=sys.stderr)
     return state.variables()
 
 
@@ -88,10 +94,14 @@ def _flagship_phase(args, results):
     )
 
     shape = tuple(args.volume_shape)
+    # jitter = contrast: some samples carry ~zero signal, so margins
+    # stay moderate and the comparison is sensitive (see synthetic.py)
     train = make_labeled_volumes(args.train_n, shape, seed=args.seed,
-                                 contrast=args.contrast)
+                                 contrast=args.contrast,
+                                 contrast_jitter=args.contrast)
     evald = make_labeled_volumes(args.eval_n, shape, seed=args.seed + 1,
-                                 contrast=args.contrast)
+                                 contrast=args.contrast,
+                                 contrast_jitter=args.contrast)
 
     def pre(batch):
         out = dict(batch)
@@ -107,7 +117,13 @@ def _flagship_phase(args, results):
                "early_stopping_patience": args.epochs,
                "reduce_factor_lr_schedule": None,
                "loss_class_weights": None}
-    model = AnatCNN.from_hparams(hparams, dtype=jnp.bfloat16)
+    # trailing_relu (the reference parity quirk) clamps negative logits
+    # to 0: in a short synthetic fit the clamped classes' gradients die
+    # and every argmax ties to class 0 (diagnosed live: logits [0,0,0]).
+    # The serve transformations under test are quirk-agnostic, so the
+    # study trains quirk-OFF to get a well-conditioned classifier.
+    model = AnatCNN.from_hparams(hparams, dtype=jnp.bfloat16,
+                                 trailing_relu=False)
     variables = _train_model(model, hparams, train, evald, pre,
                              seed=args.seed)
 
@@ -131,7 +147,8 @@ def _flagship_phase(args, results):
                                                 preprocess=pre)[0]}
     if not args.no_fast:
         fast_model = AnatCNN.from_hparams(hparams, dtype=jnp.bfloat16,
-                                          dilated=False)
+                                          dilated=False,
+                                          trailing_relu=False)
 
         def serve_fast(batch):
             out = fast_model.apply(variables, pre(batch), train=False)
@@ -183,9 +200,13 @@ def _fusion_phase(args, results):
     shape = tuple(args.volume_shape)
     mods = ("mri", "pet1451", "tabular")
     train = make_labeled_volumes(args.train_n, shape, seed=args.seed + 10,
-                                 contrast=args.contrast, modalities=mods)
+                                 contrast=args.contrast,
+                                 contrast_jitter=args.contrast,
+                                 modalities=mods)
     evald = make_labeled_volumes(args.eval_n, shape, seed=args.seed + 11,
-                                 contrast=args.contrast, modalities=mods)
+                                 contrast=args.contrast,
+                                 contrast_jitter=args.contrast,
+                                 modalities=mods)
     pet_mean = float(train["pet1451"].mean())
     pet_std = float(train["pet1451"].std())
 
@@ -232,7 +253,8 @@ def _fusion_phase(args, results):
                             seed=args.seed)
 
     pet_vars = tower_vars(SmallPETCNN, pet_hp, ("pet1451",))
-    mri_vars = tower_vars(AnatCNN, dict(mri_hp, batchnorm_begin=False),
+    mri_vars = tower_vars(AnatCNN, dict(mri_hp, batchnorm_begin=False,
+                                        trailing_relu=False),
                           ("mri", "mri_mask"))
     tab_vars = tower_vars(TabularMLP, tab_hp, ("tabular",))
 
@@ -300,12 +322,12 @@ def main(argv=None):
     parser.add_argument("--volume-shape", type=int, nargs=3,
                         default=(91, 109, 91), metavar=("D", "H", "W"))
     parser.add_argument("--depth", type=int, default=18)
-    parser.add_argument("--train-n", type=int, default=256)
+    parser.add_argument("--train-n", type=int, default=384)
     parser.add_argument("--eval-n", type=int, default=256)
-    parser.add_argument("--batch", type=int, default=32)
-    parser.add_argument("--epochs", type=int, default=6)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--epochs", type=int, default=12)
     parser.add_argument("--lr", type=float, default=1e-3)
-    parser.add_argument("--contrast", type=float, default=0.8)
+    parser.add_argument("--contrast", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-fast", action="store_true")
     parser.add_argument("--fusion", action="store_true",
