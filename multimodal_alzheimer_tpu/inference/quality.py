@@ -83,6 +83,13 @@ def compare_serve_cores(cores: dict, data: dict, n_classes: int,
     graph costs (negative = worse than baseline).
     """
     assert baseline in cores, (baseline, sorted(cores))
+    # One H2D transfer of the eval set, shared by every core: each
+    # evaluate_serve batch then slices device-resident arrays (labels
+    # stay host-side numpy for the metric math). On remote-TPU rigs the
+    # transfer dominates the whole comparison otherwise.
+    label = np.asarray(data["label"])
+    data = {k: (label if k == "label" else jax.device_put(v))
+            for k, v in data.items()}
     results = {name: evaluate_serve(serve, data, n_classes, batch_size)
                for name, serve in cores.items()}
     base = results[baseline]

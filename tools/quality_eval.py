@@ -102,6 +102,13 @@ def _flagship_phase(args, results):
     evald = make_labeled_volumes(args.eval_n, shape, seed=args.seed + 1,
                                  contrast=args.contrast,
                                  contrast_jitter=args.contrast)
+    # half-width volumes over the host->device link (the dataset's
+    # cache_dtype=float16 convention: device preprocess upcasts to f32
+    # before normalization) — halves the dominant transfer cost on
+    # remote-TPU rigs
+    for d in (train, evald):
+        d["mri"] = d["mri"].astype(np.float16)
+        d["mri_mask"] = d["mri_mask"].astype(np.float16)
 
     def pre(batch):
         out = dict(batch)
@@ -326,7 +333,7 @@ def main(argv=None):
     parser.add_argument("--eval-n", type=int, default=256)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--epochs", type=int, default=12)
-    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--contrast", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-fast", action="store_true")
