@@ -247,22 +247,29 @@ def _fusion_phase(args, results):
 
     # Stage-1 towers pretrained on the same labels (quick fits), then the
     # fusion heads train frozen-tower — the reference's default regime.
-    def tower_vars(model_cls, hparams, keys):
+    def tower_vars(model_cls, hparams, keys, **overrides):
         sub = {k: train[k] for k in keys + ("label",)}
         sub_eval = {k: evald[k] for k in keys + ("label",)}
         hparams = dict(hparams, lr=args.lr, batch_size=args.batch,
-                       max_epochs=max(1, args.epochs // 2),
+                       max_epochs=args.epochs,
                        early_stopping_patience=args.epochs,
                        reduce_factor_lr_schedule=None,
                        loss_class_weights=None)
-        model = model_cls.from_hparams(hparams, dtype=jnp.bfloat16)
+        # overrides are real constructor kwargs: from_hparams IGNORES
+        # unknown hparams-dict keys (trailing_relu in the dict silently
+        # left the quirk ON — caught live as a collapsed MRI tower)
+        model = model_cls.from_hparams(hparams, dtype=jnp.bfloat16,
+                                       **overrides)
         return _train_model(model, hparams, sub, sub_eval, pre,
                             seed=args.seed)
 
     pet_vars = tower_vars(SmallPETCNN, pet_hp, ("pet1451",))
-    mri_vars = tower_vars(AnatCNN, dict(mri_hp, batchnorm_begin=False,
-                                        trailing_relu=False),
-                          ("mri", "mri_mask"))
+    # quirk-OFF for the fit (see the flagship note); the fusion's own
+    # internal tower keeps the default head — it consumes the embedding
+    # taps, which sit before the trailing ReLU, so the grafted weights
+    # feed it identically either way
+    mri_vars = tower_vars(AnatCNN, dict(mri_hp, batchnorm_begin=False),
+                          ("mri", "mri_mask"), trailing_relu=False)
     tab_vars = tower_vars(TabularMLP, tab_hp, ("tabular",))
 
     def graft(variables):
