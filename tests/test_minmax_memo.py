@@ -155,3 +155,21 @@ def test_memo_respects_cache_dtype(split, tmp_path):
     expected = host_masked_nonzero_quantile(
         item["mri"], item.get("mri_mask"), (0.02, 0.98))
     np.testing.assert_array_equal(item["mri_qminmax"], expected)
+
+
+def test_memo_evicts_stale_quantiles(split):
+    """ADVICE r3 #3: rebinding the percentile drops the old quantile's
+    in-memory entries (an HPO sweep over many percentiles would
+    otherwise accumulate dead entries forever) while still serving the
+    right bounds for the new one."""
+    ds = MultiModalDataset(split["train"], modalities=["t1w"],
+                           normalize_mri=MINMAX, quantile=0.99)
+    b99 = ds[0]["mri_qminmax"]
+    assert set(k[1] for k in ds._minmax_memo) == {0.99}
+    ds.quantile = 0.95
+    b95 = ds[0]["mri_qminmax"]
+    assert set(k[1] for k in ds._minmax_memo) == {0.95}
+    assert not np.array_equal(b95, b99)
+    ds.quantile = 0.99
+    np.testing.assert_array_equal(ds[0]["mri_qminmax"], b99)
+    assert set(k[1] for k in ds._minmax_memo) == {0.99}
