@@ -504,7 +504,7 @@ def measure_all_configs(only=None):
     return results
 
 
-def _pipeline_workspace(n_samples: int):
+def _pipeline_workspace(n_samples: int, volume_shape=VOLUME_SHAPE):
     """Synthetic on-disk ADNI-like MRI split at the flagship volume shape
     (written once per VM; reused across runs). Only t1w rows — the
     flagship consumes MRI alone, and writing the full three-modality
@@ -517,7 +517,7 @@ def _pipeline_workspace(n_samples: int):
     import pandas as pd
 
     tag = hashlib.md5(
-        f"{VOLUME_SHAPE}|{n_samples}|v1".encode()).hexdigest()[:8]
+        f"{volume_shape}|{n_samples}|v1".encode()).hexdigest()[:8]
     root = f"/tmp/mmalz_pipebench_{tag}"
     csv_path = os.path.join(root, "train_path_data_labels.csv")
     if os.path.exists(csv_path):
@@ -527,8 +527,8 @@ def _pipeline_workspace(n_samples: int):
     rows = []
     labels = ["CN", "MCI", "Dementia"]
     for i in range(n_samples):
-        vol = np.abs(rng.normal(900, 400, VOLUME_SHAPE)).astype(np.float32)
-        mask = (rng.random(VOLUME_SHAPE) > 0.35).astype(np.uint8)
+        vol = np.abs(rng.normal(900, 400, volume_shape)).astype(np.float32)
+        mask = (rng.random(volume_shape) > 0.35).astype(np.uint8)
         path = os.path.join(root, "images",
                             f"sub-{i}_T1w_reg_ants2_MNI_2mm.nii.gz")
         mask_path = os.path.join(root, "images",
@@ -547,7 +547,9 @@ def _pipeline_workspace(n_samples: int):
 
 
 def measure_pipeline(cache_dtype=None, batch_size: int = 128,
-                     epochs: int = 5, n_samples: int = 384) -> dict:
+                     epochs: int = 5, n_samples: int = 384,
+                     volume_shape=VOLUME_SHAPE, depth: int = 18,
+                     measure_step: bool = True) -> dict:
     """End-to-end production train throughput: cache -> DataLoader ->
     H2D -> jitted step (VERDICT r3 #4 — the honest system number next to
     the device-resident 321 vol/s).
@@ -557,8 +559,11 @@ def measure_pipeline(cache_dtype=None, batch_size: int = 128,
     closes with a scalar loss fetch (block_until_ready under-waits
     through the tunnel; a data fetch drains the stream — CLAUDE.md).
     Also measures the loader alone (same warm cache, H2D included, no
-    step) so the printed verdict can attribute the gap: feed-bound
-    (loader < step rate) vs step-bound.
+    step) and — ``measure_step`` — the device-resident step rate of the
+    SAME compiled step on one resident batch, so the verdict attributes
+    the gap (feed-bound vs step-bound) against a number from this run,
+    not a stale constant. ``volume_shape``/``depth``/``batch_size`` are
+    CPU-smoke knobs (defaults = the 91^3 flagship).
     """
     import jax
 
@@ -574,7 +579,8 @@ def measure_pipeline(cache_dtype=None, batch_size: int = 128,
 
     import jax.numpy as jnp
 
-    root, csv_path = _pipeline_workspace(n_samples)
+    volume_shape = tuple(volume_shape)
+    root, csv_path = _pipeline_workspace(n_samples, volume_shape)
     cache_dir = os.path.join(root, f"cache_{cache_dtype or 'float32'}")
     ds = MultiModalDataset(
         path=csv_path, modalities=["t1w"],
@@ -604,7 +610,7 @@ def measure_pipeline(cache_dtype=None, batch_size: int = 128,
     feed_rate = n / t if t else float("nan")
 
     model = AnatCNN.from_hparams(
-        {"n_classes": 3, "resnet_depth": 18, "linear_out": (),
+        {"n_classes": 3, "resnet_depth": depth, "linear_out": (),
          "batchnorm_begin": False, "lr": 1e-3}, dtype=jnp.bfloat16)
     criterion = make_criterion({"loss_class_weights": [0.4, 0.3, 0.3]})
     optimizer = single_lr_optimizer(1e-3)
@@ -630,11 +636,27 @@ def measure_pipeline(cache_dtype=None, batch_size: int = 128,
             t += time.perf_counter() - t0
     e2e_rate = n / t
 
-    return {"cache_dtype": cache_dtype or "float32",
-            "warm_pass_s": round(warm_s, 1),
-            "n_samples": len(ds),
-            "feed_only_vol_s": round(feed_rate, 1),
-            "e2e_train_vol_s": round(e2e_rate, 1)}
+    out = {"cache_dtype": cache_dtype or "float32",
+           "warm_pass_s": round(warm_s, 1),
+           "n_samples": len(ds),
+           "feed_only_vol_s": round(feed_rate, 1),
+           "e2e_train_vol_s": round(e2e_rate, 1)}
+    if measure_step:
+        # Device-resident rate of the SAME step/state on one resident
+        # batch — already compiled and warm from the epochs above.
+        resident = jax.device_put(first)
+        s = state
+        for _ in range(3):
+            s, aux = step(s, resident, rng)
+        float(aux["loss"])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, aux = step(s, resident, rng)
+        float(aux["loss"])  # drains the stream (tunnel under-wait)
+        out["device_step_vol_s"] = round(
+            batch_size * iters / (time.perf_counter() - t0), 1)
+    return out
 
 
 def main():
@@ -649,7 +671,20 @@ def main():
             only = set(arg.split("=", 1)[1].split(","))
     if "--pipeline" in sys.argv:
         # End-to-end loader-fed flagship training, f32 and f16 caches,
-        # with host-memory context and bottleneck attribution.
+        # with host-memory context and bottleneck attribution. Smoke
+        # knobs (argparse on everything after --pipeline) scale it down
+        # for CPU tests.
+        import argparse
+
+        pp = argparse.ArgumentParser(prog="bench.py --pipeline")
+        pp.add_argument("--volume-shape", type=int, nargs=3,
+                        default=VOLUME_SHAPE, metavar=("D", "H", "W"))
+        pp.add_argument("--depth", type=int, default=18)
+        pp.add_argument("--batch", type=int, default=128)
+        pp.add_argument("--samples", type=int, default=384)
+        pp.add_argument("--epochs", type=int, default=5)
+        rest = [a for a in sys.argv[1:] if a != "--pipeline"]
+        pargs = pp.parse_args(rest)
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))
@@ -658,22 +693,32 @@ def main():
             host = {k: round(v, 1) for k, v in bench_host.main().items()}
         except Exception as e:  # noqa: BLE001 - host context is optional
             print(f"bench_host failed: {e}", file=sys.stderr)
-            host = {}
+            host = {"error": f"bench_host failed: {e}"}
         out = {"metric": "pipeline_train_volumes_per_sec_per_chip",
+               "volume_shape": list(pargs.volume_shape),
+               "depth": pargs.depth, "batch_size": pargs.batch,
                "host": host}
         for dtype in (None, "float16"):
-            r = measure_pipeline(cache_dtype=dtype)
+            r = measure_pipeline(cache_dtype=dtype,
+                                 batch_size=pargs.batch,
+                                 epochs=pargs.epochs,
+                                 n_samples=pargs.samples,
+                                 volume_shape=pargs.volume_shape,
+                                 depth=pargs.depth)
             out[r["cache_dtype"]] = r
             print(f"pipeline cache={r['cache_dtype']}: warm pass "
                   f"{r['warm_pass_s']}s, feed-only "
                   f"{r['feed_only_vol_s']} vol/s, e2e train "
-                  f"{r['e2e_train_vol_s']} vol/s", file=sys.stderr)
-        step_rate = 321.0  # device-resident flagship number (bench.py)
+                  f"{r['e2e_train_vol_s']} vol/s, device-step "
+                  f"{r['device_step_vol_s']} vol/s", file=sys.stderr)
+        # Bottleneck verdict against the device-step rate measured in
+        # THIS run (same model/step/state — no stale constants).
+        step_rate = out["float32"]["device_step_vol_s"]
         e2e = out["float32"]["e2e_train_vol_s"]
         feed = out["float32"]["feed_only_vol_s"]
         out["bottleneck"] = ("feed-bound" if feed < step_rate * 0.95
                              else "step-bound")
-        print(f"verdict: e2e {e2e} vs device-step ~{step_rate} vol/s, "
+        print(f"verdict: e2e {e2e} vs device-step {step_rate} vol/s, "
               f"feed-only {feed} -> {out['bottleneck']}", file=sys.stderr)
         print(json.dumps(out))
         return

@@ -71,6 +71,15 @@ class Predictor:
                 replicate,
             )
 
+            n_dev = int(mesh.devices.size)
+            bad = [r for r in self.ladder if r % n_dev]
+            if bad:
+                # Fail at construction: a non-divisible rung would only
+                # surface at request time, inside device_put on a live
+                # serving path.
+                raise ValueError(
+                    f"ladder rungs {bad} do not divide the mesh's "
+                    f"{n_dev} devices; every rung must shard evenly")
             if not self._serve_only:  # serve graphs don't read variables
                 self.variables = replicate(variables, mesh)
             self._shard = batch_sharding(mesh)
@@ -177,7 +186,9 @@ class Predictor:
         (exported float/folded/int8 StableHLO artifacts return only
         ``{'logits','probs'}`` — same contract ``server.py`` honors):
         the result carries an empty ``embeddings`` dict. An empty
-        dataset yields empty ``(0,)`` arrays rather than an error.
+        dataset yields ``(0, n_classes)`` logits/probs (class count from
+        the wrapped model; ``(0, 0)`` for bare serve cores, which don't
+        expose one) rather than an error.
         """
         from multimodal_alzheimer_tpu.data.pipeline import DataLoader
 
@@ -192,7 +203,8 @@ class Predictor:
             batch.pop("label", None)
             outs.append(self.predict_batch(batch))
         if not outs:
-            empty = np.zeros((0,), np.float32)
+            n_classes = int(getattr(self.model, "n_classes", 0) or 0)
+            empty = np.zeros((0, n_classes), np.float32)
             return {"logits": empty, "probs": empty, "embeddings": {}}
         return {
             "logits": np.concatenate([o["logits"] for o in outs]),

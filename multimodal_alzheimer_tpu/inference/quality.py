@@ -34,7 +34,9 @@ def evaluate_serve(serve, data: dict, n_classes: int,
 
     ``data``: dict with ``'label'`` plus the core's raw inputs. The
     tail that doesn't fill a batch is dropped (fixed compiled shape; an
-    eval set sized as a multiple of ``batch_size`` loses nothing).
+    eval set sized as a multiple of ``batch_size`` loses nothing). An
+    eval set smaller than ``batch_size`` shrinks the batch to fit (one
+    extra compile, zero dropped samples); an empty set is an error.
 
     Returns ``{'f1', 'mcc', 'balanced_acc', 'confusion', 'preds',
     'probs', 'n'}`` with numpy values.
@@ -45,6 +47,11 @@ def evaluate_serve(serve, data: dict, n_classes: int,
         f1_macro,
         matthews_corrcoef,
     )
+
+    n_total = len(data["label"])
+    if n_total == 0:
+        raise ValueError("evaluate_serve: empty eval set (no labels)")
+    batch_size = min(batch_size, n_total)
 
     jitted = jax.jit(serve)
     preds, probs, labels = [], [], []

@@ -120,6 +120,11 @@ class BatchingServer:
                         pass
                 self._q.put(None)  # sentinel wakes the worker
         self._worker.join()
+        # Release the shape/dtype spec the first sample committed us to:
+        # a closed server holds no queue, so keeping the commitment only
+        # pins stale state (and misleads anyone inspecting the object).
+        with self._spec_lock:
+            self._spec = None
 
     def __enter__(self):
         return self

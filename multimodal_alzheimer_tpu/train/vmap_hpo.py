@@ -136,7 +136,8 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
                         shared_fn: Optional[Callable] = None,
                         shared_carry0=None,
                         init_fn: Optional[Callable] = None,
-                        lr_select: Optional[Callable] = None):
+                        lr_select: Optional[Callable] = None,
+                        track_best: bool = False):
     """Train K = hp['lr'].shape[0] trials of ``model`` in one vmapped loop.
 
     ``train_data``/``val_data``: dicts of stacked host/device arrays with a
@@ -169,6 +170,16 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     is trial i's val loss at its early-stopping epoch, and ``info`` has
     ``val_history`` (epochs, K), ``stopped_epoch`` (K,), and optionally
     the final stacked carry (``return_state``).
+
+    ``track_best``: additionally snapshot each trial's (params,
+    batch_stats) at its best-val-loss epoch — one ``jnp.where`` select
+    per epoch, K extra param copies in HBM — and return them as
+    ``info['best_carry']`` (+ ``info['best_val']``). This is what a
+    *deployment* wants out of a short fit: the ES-stopped final carry
+    sits ``patience`` non-improving epochs past the best state, and
+    quick high-lr fits can collapse in exactly that window (the round-4
+    fast-mode study scored final states and misread collapsed carries
+    as convergence failures — ADVICE r4 #1).
     """
     train_data = {k: jnp.asarray(v) for k, v in train_data.items()}
     val_data = {k: jnp.asarray(v) for k, v in val_data.items()}
@@ -343,6 +354,14 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
     epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
     eval_fn = jax.jit(eval_epoch)
 
+    def _snap(sel, new, old):
+        # Per-trial select over the stacked leading axis.
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(
+                sel.reshape((-1,) + (1,) * (n.ndim - 1)), n, o), new, old)
+
+    snap_fn = jax.jit(_snap, donate_argnums=(2,))
+
     shuffle_rng = np.random.default_rng(seed)
     best = np.full(k_trials, np.inf)
     wait = np.zeros(k_trials, np.int64)
@@ -359,6 +378,10 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
                     if shared_carry0 is not None else ())
     if trial_sharding is not None and shared_carry0 is not None:
         shared_carry = jax.device_put(shared_carry, replicated)
+    best_snapshot = None
+    if track_best:  # copy: epoch_fn donates the live carry's buffers
+        best_snapshot = jax.tree_util.tree_map(jnp.array,
+                                               (carry0[0], carry0[1]))
     for epoch in range(max_epochs):
         perm = jnp.asarray(
             shuffle_rng.permutation(n_train)[:n_batches * b].astype(np.int32)
@@ -379,6 +402,12 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
         # EarlyStopping replay (optim.py:130-148): reset on strict
         # improvement, stop after `patience` consecutive non-improvements.
         improved = val < best
+        if track_best:
+            sel = jnp.asarray(active & improved)
+            if trial_sharding is not None:
+                sel = jax.device_put(sel, trial_sharding)
+            best_snapshot = snap_fn(sel, (carry[0], carry[1]),
+                                    best_snapshot)
         best = np.where(active & improved, val, best)
         wait = np.where(active, np.where(improved, 0, wait + 1), wait)
         active = active & (wait < patience)
@@ -387,6 +416,9 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
 
     info = {"val_history": np.stack(history),
             "stopped_epoch": stopped_epoch}
+    if track_best:
+        info["best_carry"] = best_snapshot
+        info["best_val"] = best
     if return_state:
         info["carry"] = carry
         info["shared_carry"] = shared_carry

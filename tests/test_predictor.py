@@ -131,12 +131,36 @@ def test_ladder_warmup_compiles_every_rung():
 
 
 def test_predict_empty_iterable():
+    """Empty input yields (0, n_classes) arrays — concatenable with any
+    real prediction output (VERDICT r4 #7: shape-(0,) lost the class
+    axis)."""
     model, variables = _model_and_vars()
     pred = Predictor(model, variables, batch_size=4)
     out = pred.predict(iter(()))
-    assert out["logits"].shape == (0,)
-    assert out["probs"].shape == (0,)
+    assert out["logits"].shape == (0, 3)
+    assert out["probs"].shape == (0, 3)
     assert out["embeddings"] == {}
+    real = pred.predict_batch({"tabular": np.zeros((2, 9), np.float32)})
+    stacked = np.concatenate([out["logits"], real["logits"]])
+    assert stacked.shape == (2, 3)
+
+
+def test_mesh_rejects_indivisible_ladder_rung():
+    """ADVICE r4 #2: a rung that doesn't divide the mesh device count
+    must fail at construction, not on a live request."""
+    import pytest
+
+    model, variables = _model_and_vars()
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    with pytest.raises(ValueError, match="mesh"):
+        Predictor(model, variables, batch_size=4 * n_dev,
+                  ladder=(n_dev + 1,), mesh=mesh)
+    # divisible rungs construct and serve fine
+    pred = Predictor(model, variables, batch_size=4 * n_dev,
+                     ladder=(n_dev, 2 * n_dev), mesh=mesh)
+    out = pred.predict_batch({"tabular": np.zeros((3, 9), np.float32)})
+    assert out["logits"].shape == (3, 3)
 
 
 def test_predict_parts_matches_predict_batch():

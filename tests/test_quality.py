@@ -98,3 +98,25 @@ def test_evaluate_serve_perfect_core_scores_one():
 
     r = evaluate_serve(oracle, data, 3, batch_size=8)
     assert r["f1"] == 1.0 and r["mcc"] == 1.0, r
+
+
+def test_evaluate_serve_small_and_empty_sets():
+    """ADVICE r4 #3: an eval set smaller than the batch shrinks the
+    batch (no samples dropped); an empty set raises a clear error."""
+    import pytest
+
+    data = {"tabular": np.zeros((5, 3), np.float32),
+            "label": np.arange(5, dtype=np.int32) % 3}
+    data["tabular"][np.arange(5), data["label"]] = 5.0
+
+    def oracle(batch):
+        logits = batch["tabular"]
+        return {"logits": logits, "probs": jax.nn.softmax(logits, -1)}
+
+    r = evaluate_serve(oracle, data, 3, batch_size=32)
+    assert r["n"] == 5 and r["f1"] == 1.0
+
+    empty = {"tabular": np.zeros((0, 3), np.float32),
+             "label": np.zeros((0,), np.int32)}
+    with pytest.raises(ValueError, match="empty eval set"):
+        evaluate_serve(oracle, empty, 3, batch_size=8)

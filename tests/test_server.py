@@ -165,6 +165,18 @@ def test_submit_after_close_raises_and_close_is_idempotent():
     server.close()  # second close: no second sentinel, no deadlock
 
 
+def test_close_releases_committed_spec():
+    """VERDICT r4 #7: the shape/dtype spec the first sample committed
+    the server to is released on close — a closed server pins no stale
+    serving contract."""
+    pred = _predictor()
+    server = BatchingServer(pred, max_wait_s=0.01)
+    server.submit({"tabular": np.zeros(9, np.float32)}).result(timeout=60)
+    assert server._spec is not None
+    server.close()
+    assert server._spec is None
+
+
 def test_close_without_drain_rejects_queued():
     pred = _predictor(batch_size=8)
     server = BatchingServer(pred, max_wait_s=30.0)

@@ -130,6 +130,41 @@ def test_early_stopping_replays_sequential_semantics():
                                        rtol=1e-6)
 
 
+def test_track_best_snapshots_best_epoch_state():
+    """track_best must hand back each trial's params/stats at its
+    best-val-loss epoch: re-scoring the snapshot with the same batching
+    semantics reproduces min(val_history) per trial (ADVICE r4 #1 — the
+    fast-mode study scores these snapshots, not ES-stopped carries)."""
+    rows = _rows()
+    val_data = _synthetic_tabular(48, 1)
+    _, info = _run(rows, max_epochs=8, patience=10, return_state=True,
+                   track_best=True)
+    hist = info["val_history"]  # (epochs, K)
+    np.testing.assert_allclose(info["best_val"], hist.min(axis=0),
+                               rtol=1e-6)
+    model = TabularMLP(n_classes=3, hidden=(32, 64))
+    params, stats = info["best_carry"]
+    for i, row in enumerate(rows):
+        variables = {"params": jax.tree_util.tree_map(
+            lambda x: x[i], params)}
+        if stats:
+            variables["batch_stats"] = jax.tree_util.tree_map(
+                lambda x: x[i], stats)
+        hp_row = {"fl_gamma": jnp.float32(row["fl_gamma"] or 0.0),
+                  "use_focal": jnp.float32(1.0 if row["fl_gamma"]
+                                           else 0.0)}
+        losses = []
+        for s in range(0, 48, 16):  # the internal val batching (b=16)
+            batch = {k: jnp.asarray(v[s:s + 16])
+                     for k, v in val_data.items()}
+            out = model.apply(variables, batch, train=False)
+            losses.append(float(vmap_hpo.trial_criterion(
+                out["logits"], batch["label"], jnp.ones(16, jnp.float32),
+                hp_row, jnp.asarray(CW3))))
+        np.testing.assert_allclose(np.mean(losses), hist[:, i].min(),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_traced_dropout_semantics():
     model = TabularMLP(n_classes=3, hidden=(64,))
     batch = _synthetic_tabular(128, 9)

@@ -15,6 +15,15 @@ reference pkg/models/mri_models/anat_cnn.py:25-46): layers 3-4 keep
 stride 1 + dilation 2/4 in parity mode vs stride 2 in fast mode —
 fast shrinks the layer-3/4 feature maps 64x, whence the speed.
 
+Scoring (ADVICE r4 #1): each seed is scored at its BEST-val-loss epoch
+state (run_parallel_trials ``track_best`` snapshot) — what a deployment
+would checkpoint — not the ES-stopped final carry, which sits
+``patience`` non-improving epochs past the best state and can collapse
+there at quick-fit lrs (the round-4 study scored final states and
+misread collapsed carries as convergence failures: fast seeds with
+best_val ~0.22 scored F1 0.47-0.53). Final-state F1 is still reported
+as ``eval_f1_final`` to quantify that gap.
+
 Outputs per arch: per-seed best val loss, eval F1/MCC, stopped epochs,
 wall time for the K-seed vmapped fit. Pretrained-weight note: Med3D
 checkpoint kernels LOAD into the strided backbone (identical shapes)
@@ -54,7 +63,13 @@ def main(argv=None):
                         help="per-trial batch (K trials run vmapped: "
                              "size K*batch like one big batch)")
     parser.add_argument("--epochs", type=int, default=10)
-    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--patience", type=int, default=3,
+                        help="early-stopping patience (< epochs so ES "
+                             "can stop a collapsed run early; scoring "
+                             "uses the best-epoch snapshot either way)")
+    # 3e-4: lr 1e-3 is late-training-unstable for depth-18 quick fits at
+    # 91^3 (collapsed final states with good best-epoch losses).
+    parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--contrast", type=float, default=0.5)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -108,30 +123,37 @@ def main(argv=None):
         t0 = time.perf_counter()
         last, info = vmap_hpo.run_parallel_trials(
             model, hp, train_data, val_data, batch_size=args.batch,
-            max_epochs=args.epochs, patience=args.epochs,
+            max_epochs=args.epochs, patience=args.patience,
             class_weights=[1 / 3, 1 / 3, 1 / 3], seed=args.seed,
-            apply_fn=apply_fn, return_state=True)
+            apply_fn=apply_fn, return_state=True, track_best=True)
         wall = time.perf_counter() - t0
-        params, stats, _ = info["carry"]
 
-        f1s, mccs = [], []
-        for i in range(args.seeds):
-            variables = {"params": jax.tree_util.tree_map(
-                lambda x: x[i], params)}
-            if stats:
-                variables["batch_stats"] = jax.tree_util.tree_map(
-                    lambda x: x[i], stats)
+        def score_states(params, stats):
+            f1s, mccs = [], []
+            for i in range(args.seeds):
+                variables = {"params": jax.tree_util.tree_map(
+                    lambda x: x[i], params)}
+                if stats:
+                    variables["batch_stats"] = jax.tree_util.tree_map(
+                        lambda x: x[i], stats)
 
-            def serve(batch, _v=variables):
-                out = model.apply(_v, batch, train=False)
-                logits = out["logits"].astype(jnp.float32)
-                return {"logits": logits,
-                        "probs": jax.nn.softmax(logits, -1)}
+                def serve(batch, _v=variables):
+                    out = model.apply(_v, batch, train=False)
+                    logits = out["logits"].astype(jnp.float32)
+                    return {"logits": logits,
+                            "probs": jax.nn.softmax(logits, -1)}
 
-            r = evaluate_serve(serve, val_data, 3,
-                               batch_size=min(32, args.eval_n))
-            f1s.append(r["f1"])
-            mccs.append(r["mcc"])
+                r = evaluate_serve(serve, val_data, 3,
+                                   batch_size=min(32, args.eval_n))
+                f1s.append(r["f1"])
+                mccs.append(r["mcc"])
+            return f1s, mccs
+
+        # deployment scoring: the best-val-loss epoch snapshot
+        f1s, mccs = score_states(*info["best_carry"])
+        # final ES-stopped carry, to quantify the late-collapse gap
+        fparams, fstats, _ = info["carry"]
+        f1s_final, _ = score_states(fparams, fstats)
 
         best_val = np.asarray(info["val_history"]).min(axis=0)
         results[arch] = {
@@ -141,12 +163,15 @@ def main(argv=None):
             "eval_f1_mean": round(float(np.mean(f1s)), 4),
             "eval_f1_std": round(float(np.std(f1s)), 4),
             "eval_mcc_mean": round(float(np.mean(mccs)), 4),
+            "eval_f1_final": [round(f, 4) for f in f1s_final],
+            "eval_f1_final_mean": round(float(np.mean(f1s_final)), 4),
             "stopped_epoch": info["stopped_epoch"].tolist(),
             "fit_wall_s": round(wall, 1),
         }
         print(f"{arch}: best val loss {best_val.mean():.4f} "
               f"(per seed {np.round(best_val, 3).tolist()}), eval F1 "
-              f"{np.mean(f1s):.4f}±{np.std(f1s):.4f}, K={args.seeds} "
+              f"{np.mean(f1s):.4f}±{np.std(f1s):.4f} best-epoch "
+              f"(final-state {np.mean(f1s_final):.4f}), K={args.seeds} "
               f"fit {wall:.1f}s", file=sys.stderr)
 
     d, f = results["dilated"], results["fast"]
@@ -158,6 +183,8 @@ def main(argv=None):
     print(json.dumps({"metric": "fast_mode_convergence",
                       "volume_shape": list(shape), "depth": args.depth,
                       "seeds": args.seeds, "epochs": args.epochs,
+                      "patience": args.patience, "lr": args.lr,
+                      "scoring": "best_epoch_snapshot",
                       "train_n": args.train_n, **results}))
 
 
