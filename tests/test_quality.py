@@ -120,3 +120,43 @@ def test_evaluate_serve_small_and_empty_sets():
              "label": np.zeros((0,), np.int32)}
     with pytest.raises(ValueError, match="empty eval set"):
         evaluate_serve(oracle, empty, 3, batch_size=8)
+
+
+def test_bootstrap_cis_and_paired_deltas():
+    """VERDICT r4 #3: quality rows carry bootstrap CIs. Pins: (a) CI
+    present and sane (positive, < 1 for a noisy core, shrinks ~sqrt(n));
+    (b) an identical core's paired delta CI is exactly 0 (shared draw
+    indices make every delta draw 0 — the point of pairing); (c) a
+    genuinely different core gets a nonzero delta CI."""
+    from multimodal_alzheimer_tpu.models import TabularMLP
+
+    data = make_labeled_volumes(96, (4, 4, 4), seed=5,
+                                modalities=("tabular",))
+    data = {"tabular": data["tabular"], "label": data["label"]}
+    model = TabularMLP.from_hparams({"n_classes": 3, "hidden": (16,)})
+    v1 = model.init(jax.random.PRNGKey(0),
+                    {"tabular": data["tabular"][:2]}, train=False)
+    v2 = model.init(jax.random.PRNGKey(7),
+                    {"tabular": data["tabular"][:2]}, train=False)
+
+    res = compare_serve_cores(
+        {"float": _tab_core(v1, model), "same": _tab_core(v1, model),
+         "other": _tab_core(v2, model)}, data, 3, batch_size=16,
+        bootstrap=300)
+    for r in res.values():
+        assert 0 < r["f1_ci"] < 1
+        assert 0 < r["mcc_ci"]
+    assert res["same"]["delta_f1_ci"] == 0.0
+    assert res["same"]["delta_mcc_ci"] == 0.0
+    assert res["other"]["delta_f1_ci"] > 0
+    table = format_comparison(res)
+    assert "±" in table and "Δf1±ci" in table
+
+    # CI shrinks roughly like sqrt(n): quadruple the set, expect a
+    # clearly smaller interval (loose factor to stay un-flaky)
+    small = {k: v[:24] for k, v in data.items()}
+    r_small = evaluate_serve(_tab_core(v1, model), small, 3,
+                             batch_size=8, bootstrap=300)
+    r_big = evaluate_serve(_tab_core(v1, model), data, 3,
+                           batch_size=8, bootstrap=300)
+    assert r_big["f1_ci"] < r_small["f1_ci"]
