@@ -10,13 +10,104 @@ by the fusion stages.
 
 from __future__ import annotations
 
+import threading
+
 import jax
 import numpy as np
 
 
+class StagedSample:
+    """A submit-time-staged sample: device arrays + its pool slot.
+
+    Behaves as a read-only mapping of key -> jax.Array for the serve
+    path; ``release()`` returns the host slot to the staging pool once
+    the sample's batch has been served (the transfer is certainly
+    complete by then — results were fetched). Slots released twice are
+    a no-op."""
+
+    def __init__(self, arrays: dict, pool=None, slot=None):
+        self.arrays = arrays
+        self._pool = pool
+        self._slot = slot
+
+    def __getitem__(self, k):
+        return self.arrays[k]
+
+    def __iter__(self):
+        return iter(self.arrays)
+
+    def keys(self):
+        return self.arrays.keys()
+
+    def release(self) -> None:
+        pool, slot = self._pool, self._slot
+        self._pool = self._slot = None
+        if pool is not None:
+            pool.release(slot)
+
+
+class _HostStagingPool:
+    """Fixed ring of reusable host buffers for submit-time H2D staging.
+
+    Rationale (CLAUDE.md round-4 measurement): the axon remote-TPU
+    client retains a reference to EVERY host buffer handed to
+    ``device_put`` for process lifetime (~1 GB RSS per GB shipped), so
+    a server staging a fresh numpy array per request leaks sample-sized
+    host memory forever (~OOM in hours at 5 vol/s x 7.2 MB). Copying
+    each request into one of ``n_slots`` recycled buffers bounds what
+    the client can retain to the fixed pool. On healthy local-PCIe rigs
+    the pool is still harmless (one extra host memcpy per request,
+    ~1 ms for a 7.2 MB volume).
+
+    Slots are allocated lazily per sample spec (keyed on shapes/dtypes)
+    and handed out round-robin from a free list; a burst deeper than
+    the pool falls back to a fresh one-off buffer (counted in
+    ``fallbacks`` — size the pool >= the batching window's depth).
+    """
+
+    def __init__(self, n_slots: int):
+        self.n_slots = int(n_slots)
+        self._free: dict = {}   # spec signature -> [slot dicts]
+        self._made: dict = {}   # spec signature -> count
+        self._lock = threading.Lock()
+        self.fallbacks = 0
+
+    @staticmethod
+    def _sig(sample: dict):
+        return tuple(sorted((k, np.shape(v), np.asarray(v).dtype.str)
+                            for k, v in sample.items()))
+
+    def acquire(self, sample: dict):
+        """Copy ``sample`` into a pooled slot; returns (slot, sig) or
+        (None, None) when the pool is exhausted (caller falls back)."""
+        sig = self._sig(sample)
+        with self._lock:
+            free = self._free.setdefault(sig, [])
+            if free:
+                slot = free.pop()
+            elif self._made.get(sig, 0) < self.n_slots:
+                slot = {k: np.empty(np.shape(v), np.asarray(v).dtype)
+                        for k, v in sample.items()}
+                self._made[sig] = self._made.get(sig, 0) + 1
+            else:
+                self.fallbacks += 1
+                return None, None
+        for k, v in sample.items():
+            np.copyto(slot[k], v)
+        return slot, sig
+
+    def release(self, token) -> None:
+        if token is None:
+            return
+        slot, sig = token
+        with self._lock:
+            self._free[sig].append(slot)
+
+
 class Predictor:
     def __init__(self, model, variables: dict, batch_size: int = 32,
-                 preprocess=None, mesh=None, serve_fn=None, ladder=None):
+                 preprocess=None, mesh=None, serve_fn=None, ladder=None,
+                 staging_slots: int = 0):
         """``serve_fn`` optionally replaces the model-apply serve core
         with a prebuilt ``batch -> {'logits','probs','embeddings'}``
         function (e.g. the int8 path from ``inference.quantize`` — which
@@ -32,10 +123,21 @@ class Predictor:
         shape); results are the same per-sample computation at every
         rung — batch composition never changes a client's numbers. With
         a mesh, every rung must divide the device count.
+
+        ``staging_slots`` > 0 routes ``stage_sample`` through a
+        ``_HostStagingPool`` of that many recycled host buffers per
+        sample spec — REQUIRED for long-lived servers on rigs whose
+        client retains every H2D host buffer (axon remote TPU,
+        CLAUDE.md): without it, per-request staging leaks sample-sized
+        host RSS forever. Size it >= the batching window depth (e.g.
+        2 x batch_size); deeper bursts fall back to one-off buffers
+        (counted in ``staging_pool.fallbacks``).
         """
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
+        self.staging_pool = (_HostStagingPool(staging_slots)
+                             if staging_slots else None)
         rungs = sorted({int(r) for r in (ladder or ())} | {int(batch_size)})
         if rungs[-1] != batch_size:
             raise ValueError(
@@ -121,10 +223,22 @@ class Predictor:
         """Start this sample's async H2D transfer now (submit time), so
         it overlaps the batching window instead of serializing into the
         dispatch. No-op (returns the host sample) under a mesh — sharded
-        placement happens at batch level."""
+        placement happens at batch level.
+
+        With ``staging_slots`` the sample is first copied into a pooled
+        recycled host buffer (bounding H2D-retention leaks; see
+        ``_HostStagingPool``) and the returned ``StagedSample`` must be
+        ``release()``d after its batch is served — ``BatchingServer``
+        does this; callers composing manually own the release."""
         if self._shard is not None:
             return sample
-        return jax.device_put(sample)
+        if self.staging_pool is None:
+            return StagedSample(jax.device_put(sample))
+        slot, sig = self.staging_pool.acquire(sample)
+        if slot is None:  # pool exhausted: one-off buffer (counted)
+            return StagedSample(jax.device_put(sample))
+        return StagedSample(jax.device_put(slot), self.staging_pool,
+                            (slot, sig))
 
     def predict_parts(self, samples: list) -> dict:
         """Serve a list of per-sample dicts (no batch axis), stacking —
@@ -142,6 +256,9 @@ class Predictor:
         """
         n = len(samples)
         rung = self._pad_target(n)
+        # unwrap StagedSample handles to their array dicts (plain jit
+        # pytree args); plain dicts pass through
+        samples = [getattr(s, "arrays", s) for s in samples]
         parts = list(samples) + [samples[-1]] * (rung - n)
         fn = self._parts_fns.get(rung)
         if fn is None:

@@ -29,6 +29,13 @@ Semantics:
 * Submissions are shape/dtype-validated against the first accepted
   sample, so one malformed request fails fast at ``submit`` instead of
   poisoning a whole batch.
+* Host-memory bound: give the Predictor ``staging_slots`` (e.g.
+  ``2 * batch_size``) on rigs whose client retains every H2D host
+  buffer (axon remote TPU — CLAUDE.md measured ~1 GB RSS leaked per GB
+  shipped). Staged samples then ride a fixed ring of recycled host
+  buffers, released here after each batch serves; without it a
+  sustained 5 vol/s of 7.2 MB volumes leaks ~36 MB/s of host RSS —
+  OOM in hours (tools/bench_soak.py measures both modes).
 """
 
 from __future__ import annotations
@@ -112,7 +119,10 @@ class BatchingServer:
                 if not drain:
                     try:
                         while True:
-                            _, future = self._q.get_nowait()
+                            staged, future = self._q.get_nowait()
+                            release = getattr(staged, "release", None)
+                            if release is not None:
+                                release()
                             if future.set_running_or_notify_cancel():
                                 future.set_exception(
                                     RuntimeError("server closed"))
@@ -167,6 +177,18 @@ class BatchingServer:
             return
         samples = [s for s, _ in pending]
         futures = [f for _, f in pending]
+        try:
+            self._serve_inner(samples, futures)
+        finally:
+            # Return pooled staging slots (predictor staging_slots > 0):
+            # the batch is fully served — or failed — so every staged
+            # transfer has completed and the host buffers are reusable.
+            for s in samples:
+                release = getattr(s, "release", None)
+                if release is not None:
+                    release()
+
+    def _serve_inner(self, samples: list, futures: list) -> None:
         try:
             if getattr(self.predictor, "_shard", None) is None:
                 # hot path: samples are device-staged; stack+pad runs on

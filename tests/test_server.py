@@ -165,6 +165,55 @@ def test_submit_after_close_raises_and_close_is_idempotent():
     server.close()  # second close: no second sentinel, no deadlock
 
 
+def test_staging_pool_bounds_buffers_and_keeps_parity():
+    """VERDICT r4 #5: with staging_slots the server stages every request
+    through a fixed ring of recycled host buffers (bounding what an
+    H2D-retaining client can leak) — results identical, slots recycled,
+    no unbounded allocation under steady load."""
+    model = TabularMLP.from_hparams({"n_classes": 3, "hidden": (16, 32)})
+    batch = {"tabular": jnp.zeros((2, 9))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    pred = Predictor(model, variables, batch_size=4, staging_slots=6)
+    plain = Predictor(model, variables, batch_size=4)
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(40, 9)).astype(np.float32)
+    with BatchingServer(pred, max_wait_s=0.02) as server:
+        futures = [server.submit({"tabular": x[i]}) for i in range(40)]
+        got = np.stack([f.result(timeout=60)["logits"] for f in futures])
+
+    ref = np.concatenate(
+        [plain.predict_batch({"tabular": x[i:i + 4]})["logits"]
+         for i in range(0, 40, 4)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # the ring never grew past its bound; every slot went back
+    pool = pred.staging_pool
+    made = sum(pool._made.values())
+    assert made <= 6, made
+    free = sum(len(v) for v in pool._free.values())
+    assert free == made, (free, made)  # all released after serving
+
+
+def test_staging_pool_burst_falls_back_not_fails():
+    """A burst deeper than the pool serves correctly via one-off
+    buffers (counted), rather than blocking or erroring."""
+    model = TabularMLP.from_hparams({"n_classes": 3, "hidden": (16,)})
+    batch = {"tabular": jnp.zeros((2, 9))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    pred = Predictor(model, variables, batch_size=8, staging_slots=2)
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(8, 9)).astype(np.float32)
+    staged = [pred.stage_sample({"tabular": x[i]}) for i in range(8)]
+    out = pred.predict_parts(staged)
+    ref = pred.predict_batch({"tabular": x})
+    np.testing.assert_allclose(out["logits"], ref["logits"],
+                               rtol=1e-5, atol=1e-6)
+    assert pred.staging_pool.fallbacks == 6  # 8 staged, 2 slots
+    for s in staged:
+        s.release()
+    assert sum(len(v) for v in pred.staging_pool._free.values()) == 2
+
+
 def test_close_releases_committed_spec():
     """VERDICT r4 #7: the shape/dtype spec the first sample committed
     the server to is released on close — a closed server pins no stale
