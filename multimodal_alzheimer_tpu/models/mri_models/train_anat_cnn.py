@@ -150,6 +150,60 @@ def train_anat(hparams: dict, experiment_name: str = "",
     return last_val_loss
 
 
+def train_anat_fast(hparams: dict, experiment_name: str = "",
+                    experiment_version=None, screen_k: int = 8,
+                    screen_epochs: int = 3, **model_kwargs):
+    """Fast-mode (strided, ``dilated=False``) MRI training with a K-seed
+    screen (VERDICT r4 #2).
+
+    The strided backbone trains ~2.8x faster than Med3D-dilated parity
+    but from-scratch quick fits are seed-bimodal (BASELINE.md fast-mode
+    study). Remedy: fit ``screen_k`` init seeds of this exact config as
+    ONE vmapped program for ``screen_epochs`` epochs (costs about one
+    fit at batch K*b — train/seed_screen.py), then continue the regular
+    checkpointed fit from the winning seed's best-epoch snapshot. The
+    screen epochs are not wasted: the continuation starts from the
+    winner's weights, not a re-init.
+
+    Returns ``(last_val_loss, screen)`` where ``screen`` carries the
+    per-seed val history for the run log.
+    """
+    from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
+    from multimodal_alzheimer_tpu.train.seed_screen import screen_seeds
+
+    trainset, valset = build_datasets(
+        hparams, ["t1w"],
+        normalize_mri={"per_scan_norm": "min_max"},
+        quantile=hparams["norm_percentile"])
+    attach_class_weights(hparams, trainset)
+    model = AnatCNN.from_hparams(hparams, dilated=False, **model_kwargs)
+
+    # whole-split device-resident screen (the vmap-HPO data layout);
+    # normalization runs once on device, shared by all K seeds
+    import jax
+
+    pre = jax.jit(trainset.get_device_preprocess())
+    train_data = pre(full_arrays(trainset))
+    val_data = pre(full_arrays(valset))
+    screen = screen_seeds(
+        model, train_data, val_data, lr=hparams["lr"],
+        batch_size=hparams["batch_size"], epochs=screen_epochs,
+        class_weights=hparams["loss_class_weights"],
+        seeds=tuple(range(screen_k)),
+        l2_reg=hparams.get("l2_reg", 0.0) or 0.0,
+        fl_gamma=hparams.get("fl_gamma"), base_seed=SEED)
+    winner_variables = screen.pop("winner_variables")
+
+    optimizer = backbone_head_optimizer(hparams, None)
+    _, _, last_val_loss = run_training(
+        model, hparams, trainset, valset,
+        experiment_name=experiment_name,
+        experiment_version=experiment_version,
+        optimizer=optimizer, log_dir=LOG_DIRECTORY, seed=SEED,
+        variables_transform=lambda _: winner_variables)
+    return last_val_loss, screen
+
+
 @hpo.oom_guard
 def _objective(trial):
     hparams = sample_hparams(trial)

@@ -155,6 +155,15 @@ def main(argv=None):
         fparams, fstats, _ = info["carry"]
         f1s_final, _ = score_states(fparams, fstats)
 
+        # Seed-screen oracle check (train/seed_screen.py): would picking
+        # the argmin-val seed after only E epochs have selected a good
+        # final model? screen_pick_f1[E] = best-epoch eval F1 of the
+        # seed an E-epoch screen would choose.
+        hist = np.asarray(info["val_history"])  # (epochs, K)
+        screen_pick = {
+            str(e): round(f1s[int(hist[:e].min(axis=0).argmin())], 4)
+            for e in (1, 2, 3) if e <= hist.shape[0]}
+
         best_val = np.asarray(info["val_history"]).min(axis=0)
         results[arch] = {
             "best_val_loss": [round(float(v), 4) for v in best_val],
@@ -166,6 +175,7 @@ def main(argv=None):
             "eval_f1_final": [round(f, 4) for f in f1s_final],
             "eval_f1_final_mean": round(float(np.mean(f1s_final)), 4),
             "stopped_epoch": info["stopped_epoch"].tolist(),
+            "screen_pick_f1": screen_pick,
             "fit_wall_s": round(wall, 1),
         }
         print(f"{arch}: best val loss {best_val.mean():.4f} "
