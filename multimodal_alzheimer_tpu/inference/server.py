@@ -29,13 +29,20 @@ Semantics:
 * Submissions are shape/dtype-validated against the first accepted
   sample, so one malformed request fails fast at ``submit`` instead of
   poisoning a whole batch.
-* Host-memory bound: give the Predictor ``staging_slots`` (e.g.
-  ``2 * batch_size``) on rigs whose client retains every H2D host
-  buffer (axon remote TPU — CLAUDE.md measured ~1 GB RSS leaked per GB
-  shipped). Staged samples then ride a fixed ring of recycled host
-  buffers, released here after each batch serves; without it a
-  sustained 5 vol/s of 7.2 MB volumes leaks ~36 MB/s of host RSS —
-  OOM in hours (tools/bench_soak.py measures both modes).
+* Host-memory bound (MEASURED, tools/bench_soak.py / BENCH_soak_r05):
+  on the axon remote-TPU rig the client retains host memory for every
+  BYTE SHIPPED — a 90 s soak at 5 vol/s of 7.2 MB volumes grew RSS by
+  7.07 MB/request (= the sample size) in plain mode AND 7.15 with the
+  ``staging_slots`` recycled-host-buffer ring (0 fallbacks), so the
+  retention is per-transfer, not per-host-buffer, and no client-side
+  pooling can remove it. Operational bound: RSS grows ~= request_rate
+  x sample_bytes (2.0 GB/min at 5 vol/s x 7.2 MB); budget accordingly
+  — e.g. a 100 GB allowance sustains ~14k volume requests, then
+  recycle the serving process. Submitting float16 samples halves the
+  rate (metric-neutral for this model family — the f16 cache quality
+  evidence, tests/test_dataset.py). ``staging_slots`` remains useful
+  for its original purposes — bounded allocation on slow-fresh-alloc
+  VMs and deterministic buffer reuse — and is harmless elsewhere.
 """
 
 from __future__ import annotations
