@@ -93,6 +93,23 @@ def test_train_anat_fast_screen_continuation(tmp_path):
             os.environ["MMALZ_DATA_DIR"] = old
 
 
+def test_screen_mesh_sharded_matches_single_device():
+    """The K-seed screen shards its trial axis over a mesh (one seed
+    per device, zero collectives) with identical selection."""
+    from multimodal_alzheimer_tpu.parallel import make_mesh
+
+    model = TabularMLP(n_classes=3, hidden=(16, 32))
+    train = _synthetic_tabular(64, 0)
+    val = _synthetic_tabular(48, 1)
+    kwargs = dict(lr=3e-3, batch_size=16, epochs=3,
+                  class_weights=[1 / 3] * 3, seeds=tuple(range(8)))
+    solo = screen_seeds(model, train, val, **kwargs)
+    sharded = screen_seeds(model, train, val, mesh=make_mesh(), **kwargs)
+    assert sharded["winner_seed"] == solo["winner_seed"]
+    np.testing.assert_allclose(sharded["val_history"],
+                               solo["val_history"], rtol=2e-5, atol=1e-6)
+
+
 def test_continuation_actually_starts_from_snapshot():
     """variables_transform semantics: handing the screen winner to a
     trainer must seed the fit with those exact weights."""

@@ -214,6 +214,45 @@ def test_staging_pool_burst_falls_back_not_fails():
     assert sum(len(v) for v in pred.staging_pool._free.values()) == 2
 
 
+def test_f16_submissions_match_f32_serving():
+    """Backs the soak guidance (BENCH_soak_r05): submitting float16
+    samples halves the per-request host-RSS cost on H2D-retaining rigs
+    and must serve metric-equivalently. The MRI serve upcasts inside
+    its preprocess (the f16-cache convention), so f16-submitted volumes
+    reproduce f32 probabilities to f16 input precision."""
+    import jax as _jax
+
+    from multimodal_alzheimer_tpu.models import AnatCNN
+    from multimodal_alzheimer_tpu.ops.normalization import (
+        batched_normalize_mri,
+    )
+
+    shape = (12, 14, 12)
+    model = AnatCNN.from_hparams(
+        {"n_classes": 3, "resnet_depth": 10, "linear_out": (),
+         "batchnorm_begin": False, "lr": 1e-3}, dtype=jnp.bfloat16)
+
+    def pre(batch):
+        out = dict(batch)
+        out["mri"] = batched_normalize_mri(
+            out["mri"], out.pop("mri_mask"),
+            {"per_scan_norm": "min_max"}, 0.99)
+        return out
+
+    rng = np.random.default_rng(3)
+    mri = rng.normal(900, 400, (2,) + shape).astype(np.float32)
+    mask = (rng.random((2,) + shape) > 0.35).astype(np.float32)
+    variables = model.init(_jax.random.PRNGKey(0),
+                           pre({"mri": mri, "mri_mask": mask}),
+                           train=False)
+    pred = Predictor(model, variables, batch_size=2, preprocess=pre)
+    f32 = pred.predict_batch({"mri": mri, "mri_mask": mask})
+    f16 = pred.predict_batch({"mri": mri.astype(np.float16),
+                              "mri_mask": mask.astype(np.float16)})
+    assert np.array_equal(f32["probs"].argmax(-1), f16["probs"].argmax(-1))
+    np.testing.assert_allclose(f16["probs"], f32["probs"], atol=0.02)
+
+
 def test_close_releases_committed_spec():
     """VERDICT r4 #7: the shape/dtype spec the first sample committed
     the server to is released on close — a closed server pins no stale
