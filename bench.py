@@ -580,6 +580,12 @@ def measure_pipeline(cache_dtype=None, batch_size: int = 128,
     import jax.numpy as jnp
 
     volume_shape = tuple(volume_shape)
+    if n_samples < batch_size:
+        raise ValueError(
+            f"n_samples={n_samples} < batch_size={batch_size}: the "
+            f"drop_last loader would yield zero batches")
+    if epochs < 2:
+        raise ValueError("epochs must be >= 2 (epoch 0 is warmup)")
     root, csv_path = _pipeline_workspace(n_samples, volume_shape)
     cache_dir = os.path.join(root, f"cache_{cache_dtype or 'float32'}")
     ds = MultiModalDataset(
@@ -684,7 +690,9 @@ def main():
         pp.add_argument("--samples", type=int, default=384)
         pp.add_argument("--epochs", type=int, default=5)
         rest = [a for a in sys.argv[1:] if a != "--pipeline"]
-        pargs = pp.parse_args(rest)
+        # parse_known_args: other bench.py flags (--all, --only=...)
+        # were always tolerated-and-ignored alongside --pipeline
+        pargs, _ = pp.parse_known_args(rest)
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))

@@ -84,6 +84,8 @@ class BatchingServer:
         Returns a Future resolving to ``{'logits': (C,), 'probs': (C,),
         'embeddings': {tap: (...)}}`` for this sample alone.
         """
+        if self._closed:  # fast-fail before paying the staging copy
+            raise RuntimeError("server is closed")
         sample = {k: np.asarray(v) for k, v in sample.items()}
         self._validate(sample)
         # Start the async H2D transfer NOW: it overlaps the batching
@@ -96,6 +98,12 @@ class BatchingServer:
         future: Future = Future()
         with self._submit_lock:
             if self._closed:
+                # closed between the fast check and here: return the
+                # staged slot to the pool before rejecting, or the ring
+                # drains one slot per raced submit
+                release = getattr(staged, "release", None)
+                if release is not None:
+                    release()
                 raise RuntimeError("server is closed")
             self._q.put((staged, future))
         return future
@@ -178,8 +186,17 @@ class BatchingServer:
         # cancelled future raises InvalidStateError and would kill the
         # worker loop for good. Claimed futures are RUNNING and can no
         # longer be cancelled, so the deliveries below cannot raise.
-        pending = [(s, f) for s, f in pending
-                   if f.set_running_or_notify_cancel()]
+        claimed = []
+        for s, f in pending:
+            if f.set_running_or_notify_cancel():
+                claimed.append((s, f))
+            else:
+                # cancelled request: its staged slot still holds a ring
+                # buffer — release it or client timeouts drain the pool
+                release = getattr(s, "release", None)
+                if release is not None:
+                    release()
+        pending = claimed
         if not pending:
             return
         samples = [s for s, _ in pending]

@@ -176,7 +176,20 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
         normalize_mri={"per_scan_norm": "min_max"},
         quantile=hparams["norm_percentile"])
     attach_class_weights(hparams, trainset)
-    model = AnatCNN.from_hparams(hparams, dilated=False, **model_kwargs)
+    # trailing_relu defaults OFF here: the parity quirk's clamped-logit
+    # dead gradients collapse quick fits to argmax-class-0 with a
+    # deceptively fine val loss (CLAUDE.md) — which would corrupt the
+    # argmin-val seed selection this entry point exists for. Fast mode
+    # is already a beyond-parity performance mode; pass
+    # ``trailing_relu=True`` explicitly to keep the quirk.
+    model_kwargs.setdefault("trailing_relu", False)
+    # Screen model: freeze_backbone=False so one vmapped program serves
+    # frozen and unfrozen regimes via lr_select's traced-0.0 (exactly
+    # the optuna parallel path's construction). The continuation below
+    # rebuilds with the default derivation — the frozen regime then
+    # gets the faster stop_gradient graph; identical parameter tree.
+    model = AnatCNN.from_hparams(hparams, dilated=False,
+                                 freeze_backbone=False, **model_kwargs)
 
     # whole-split device-resident screen (the vmap-HPO data layout);
     # normalization runs once on device, shared by all K seeds
@@ -185,18 +198,29 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
     pre = jax.jit(trainset.get_device_preprocess())
     train_data = pre(full_arrays(trainset))
     val_data = pre(full_arrays(valset))
+
+    def lr_select(hp_row, keys):
+        # backbone_head_optimizer parity (the continuation's regime):
+        # 'head' at lr, backbone at lr_pretrained (traced 0.0 == frozen)
+        return (hp_row["lr"] if keys and keys[0] == "head"
+                else hp_row["lr_pretrained"])
+
     screen = screen_seeds(
         model, train_data, val_data, lr=hparams["lr"],
         batch_size=hparams["batch_size"], epochs=screen_epochs,
         class_weights=hparams["loss_class_weights"],
         seeds=tuple(range(screen_k)),
         l2_reg=hparams.get("l2_reg", 0.0) or 0.0,
-        fl_gamma=hparams.get("fl_gamma"), base_seed=SEED)
+        fl_gamma=hparams.get("fl_gamma"), base_seed=SEED,
+        extra_hparams={"lr_pretrained": hparams.get("lr_pretrained")},
+        lr_select=lr_select)
     winner_variables = screen.pop("winner_variables")
 
+    fit_model = AnatCNN.from_hparams(hparams, dilated=False,
+                                     **model_kwargs)
     optimizer = backbone_head_optimizer(hparams, None)
     _, _, last_val_loss = run_training(
-        model, hparams, trainset, valset,
+        fit_model, hparams, trainset, valset,
         experiment_name=experiment_name,
         experiment_version=experiment_version,
         optimizer=optimizer, log_dir=LOG_DIRECTORY, seed=SEED,

@@ -402,7 +402,10 @@ def run_parallel_trials(model, hp: dict, train_data: dict, val_data: dict, *,
         # EarlyStopping replay (optim.py:130-148): reset on strict
         # improvement, stop after `patience` consecutive non-improvements.
         improved = val < best
-        if track_best:
+        if track_best and (active & improved).any():
+            # skip the K-model select entirely on no-improvement epochs
+            # (the common case late in a fit) — improvement is already
+            # known host-side
             sel = jnp.asarray(active & improved)
             if trial_sharding is not None:
                 sel = jax.device_put(sel, trial_sharding)

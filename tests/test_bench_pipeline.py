@@ -25,6 +25,20 @@ def test_measure_pipeline_smoke():
     assert r["warm_pass_s"] >= 0
 
 
+def test_measure_pipeline_rejects_unusable_knobs():
+    """Smoke knobs that would crash mid-run (zero batches from the
+    drop_last loader; zero timed epochs) fail fast with clear errors
+    (code-review r5)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="zero batches"):
+        bench.measure_pipeline(batch_size=128, n_samples=8, epochs=2,
+                               volume_shape=(12, 14, 12), depth=10)
+    with pytest.raises(ValueError, match="epochs"):
+        bench.measure_pipeline(batch_size=4, n_samples=8, epochs=1,
+                               volume_shape=(12, 14, 12), depth=10)
+
+
 def test_measure_pipeline_f16_cache_smoke():
     r = bench.measure_pipeline(
         cache_dtype="float16", batch_size=4, epochs=2, n_samples=8,

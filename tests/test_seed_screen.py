@@ -93,6 +93,43 @@ def test_train_anat_fast_screen_continuation(tmp_path):
             os.environ["MMALZ_DATA_DIR"] = old
 
 
+def test_screen_raises_when_every_seed_diverges():
+    """An all-NaN screen must raise, not silently return seed 0's init
+    weights as the 'winner' (code-review r5)."""
+    import pytest
+
+    model = TabularMLP(n_classes=3, hidden=(16,))
+    train = _synthetic_tabular(64, 0)
+    val = _synthetic_tabular(48, 1)
+    # lr 1e20: the first Adam update puts params at ~1e20, so the
+    # second layer's activations overflow f32 -> inf -> NaN loss for
+    # every seed from epoch 1 on
+    with pytest.raises(RuntimeError, match="finite val loss"):
+        screen_seeds(model, train, val, lr=1e20, batch_size=16,
+                     epochs=2, class_weights=[1 / 3] * 3, seeds=(1, 2))
+
+
+def test_screen_lr_select_reaches_the_update_rule():
+    """lr_select plumbs through: an all-zero traced lr must leave every
+    winner parameter at its init value (the frozen-group semantics the
+    fast-mode entry point relies on for backbone/lr_pretrained)."""
+    model = TabularMLP(n_classes=3, hidden=(16,))
+    train = _synthetic_tabular(64, 0)
+    val = _synthetic_tabular(48, 1)
+    screen = screen_seeds(
+        model, train, val, lr=3e-3, batch_size=16, epochs=2,
+        class_weights=[1 / 3] * 3, seeds=(7,),
+        extra_hparams={"lr_pretrained": None},
+        lr_select=lambda hp_row, keys: hp_row["lr_pretrained"])
+    init = model.init(
+        jax.random.fold_in(jax.random.PRNGKey(5), 7),
+        {k: v[:16] for k, v in train.items()}, train=False)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        screen["winner_variables"]["params"], init["params"])
+
+
 def test_screen_mesh_sharded_matches_single_device():
     """The K-seed screen shards its trial axis over a mesh (one seed
     per device, zero collectives) with identical selection."""

@@ -194,6 +194,34 @@ def test_staging_pool_bounds_buffers_and_keeps_parity():
     assert free == made, (free, made)  # all released after serving
 
 
+def test_cancelled_and_rejected_requests_release_pool_slots():
+    """Code-review r5: a cancelled queued request (client timeout) and a
+    submit raced against close must return their staging-ring slots —
+    otherwise client timeouts drain the pool to zero and every later
+    request silently takes the one-off-buffer fallback path."""
+    model = TabularMLP.from_hparams({"n_classes": 3, "hidden": (16,)})
+    batch = {"tabular": jnp.zeros((2, 9))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    pred = Predictor(model, variables, batch_size=4, staging_slots=4)
+    server = BatchingServer(pred, max_wait_s=5.0)
+    f1 = server.submit({"tabular": np.zeros(9, np.float32)})
+    f2 = server.submit({"tabular": np.zeros(9, np.float32)})
+    assert f2.cancel()  # still queued behind the batching window
+    server.close()  # drains: serves f1, must release f2's slot too
+    assert f1.result(timeout=60)["logits"].shape == (3,)
+    pool = pred.staging_pool
+    made = sum(pool._made.values())
+    free = sum(len(v) for v in pool._free.values())
+    assert free == made, (free, made)  # nothing stuck in limbo
+    # submit after close: fast-fails without touching the pool
+    try:
+        server.submit({"tabular": np.zeros(9, np.float32)})
+        raise AssertionError("accepted after close")
+    except RuntimeError:
+        pass
+    assert sum(len(v) for v in pool._free.values()) == made
+
+
 def test_staging_pool_burst_falls_back_not_fails():
     """A burst deeper than the pool serves correctly via one-off
     buffers (counted), rather than blocking or erroring."""

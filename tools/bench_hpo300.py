@@ -67,6 +67,16 @@ def main(argv=None):
 
     values = [float(v) for v, _ in study.trials]
     finite = [v for v in values if np.isfinite(v)]
+    if not finite:
+        # every trial scored inf (all-OOM protocol outcome): still honor
+        # the one-JSON-line contract rather than crash post-search
+        print(json.dumps({"metric": "hpo_300_trials",
+                          "space": "tabular_stage1",
+                          "n_trials": len(values),
+                          "wall_s": round(wall, 1),
+                          "best_value": None,
+                          "all_trials_inf": True}))
+        return
     curve = np.minimum.accumulate(
         np.where(np.isfinite(values), values, np.inf)).tolist()
     # one bucket == one (batch_size, hidden) signature == one XLA
