@@ -205,6 +205,9 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
         return (hp_row["lr"] if keys and keys[0] == "head"
                 else hp_row["lr_pretrained"])
 
+    import time
+
+    t0 = time.perf_counter()
     screen = screen_seeds(
         model, train_data, val_data, lr=hparams["lr"],
         batch_size=hparams["batch_size"], epochs=screen_epochs,
@@ -214,17 +217,20 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
         fl_gamma=hparams.get("fl_gamma"), base_seed=SEED,
         extra_hparams={"lr_pretrained": hparams.get("lr_pretrained")},
         lr_select=lr_select)
+    screen["screen_wall_s"] = round(time.perf_counter() - t0, 1)
     winner_variables = screen.pop("winner_variables")
 
     fit_model = AnatCNN.from_hparams(hparams, dilated=False,
                                      **model_kwargs)
     optimizer = backbone_head_optimizer(hparams, None)
+    t0 = time.perf_counter()
     _, _, last_val_loss = run_training(
         fit_model, hparams, trainset, valset,
         experiment_name=experiment_name,
         experiment_version=experiment_version,
         optimizer=optimizer, log_dir=LOG_DIRECTORY, seed=SEED,
         variables_transform=lambda _: winner_variables)
+    screen["fit_wall_s"] = round(time.perf_counter() - t0, 1)
     return last_val_loss, screen
 
 
