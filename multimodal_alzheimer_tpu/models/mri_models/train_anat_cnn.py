@@ -152,7 +152,8 @@ def train_anat(hparams: dict, experiment_name: str = "",
 
 def train_anat_fast(hparams: dict, experiment_name: str = "",
                     experiment_version=None, screen_k: int = 8,
-                    screen_epochs: int = 3, **model_kwargs):
+                    screen_epochs: int = 3, screen_batch=None,
+                    **model_kwargs):
     """Fast-mode (strided, ``dilated=False``) MRI training with a K-seed
     screen (VERDICT r4 #2).
 
@@ -165,8 +166,15 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
     screen epochs are not wasted: the continuation starts from the
     winner's weights, not a re-init.
 
+    ``screen_batch`` (default: the config's batch size) sizes the
+    per-seed screen batch — HBM sees the K seeds like ONE batch of
+    ``screen_k * screen_batch`` volumes (CLAUDE.md: K=8 x b=16 of a
+    91^3 depth-18 full-model fit OOMs a v5e; 8 x 8 fits), so shrink it
+    when K * batch exceeds the single-fit sweet spot. Seed ranking is
+    batch-size-robust (same data, same epochs for every seed).
+
     Returns ``(last_val_loss, screen)`` where ``screen`` carries the
-    per-seed val history for the run log.
+    per-seed val history + screen/fit wall clocks for the run log.
     """
     from multimodal_alzheimer_tpu.train.fusion_hpo import full_arrays
     from multimodal_alzheimer_tpu.train.seed_screen import screen_seeds
@@ -183,6 +191,12 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
     # is already a beyond-parity performance mode; pass
     # ``trailing_relu=True`` explicitly to keep the quirk.
     model_kwargs.setdefault("trailing_relu", False)
+    # bf16 compute by default: this entry point IS the performance mode
+    # (f32 at 91^3 roughly doubles activation memory — the K-seed screen
+    # then OOMs at K*batch sizes the bf16 flagship handles fine).
+    import jax.numpy as jnp
+
+    model_kwargs.setdefault("dtype", jnp.bfloat16)
     # Screen model: freeze_backbone=False so one vmapped program serves
     # frozen and unfrozen regimes via lr_select's traced-0.0 (exactly
     # the optuna parallel path's construction). The continuation below
@@ -210,7 +224,8 @@ def train_anat_fast(hparams: dict, experiment_name: str = "",
     t0 = time.perf_counter()
     screen = screen_seeds(
         model, train_data, val_data, lr=hparams["lr"],
-        batch_size=hparams["batch_size"], epochs=screen_epochs,
+        batch_size=int(screen_batch or hparams["batch_size"]),
+        epochs=screen_epochs,
         class_weights=hparams["loss_class_weights"],
         seeds=tuple(range(screen_k)),
         l2_reg=hparams.get("l2_reg", 0.0) or 0.0,
