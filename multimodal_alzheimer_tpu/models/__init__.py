@@ -5,6 +5,8 @@ from multimodal_alzheimer_tpu.models.pet_models.pet_cnn import (
 from multimodal_alzheimer_tpu.models.mri_models.anat_cnn import AnatCNN
 from multimodal_alzheimer_tpu.models.pet_models.pet_resnet_cnn import PETResNetCNN
 from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import TabularMLP
+from multimodal_alzheimer_tpu.models.tabular_models.tabpfn import (
+    TabPFNClassifier, TabPFNTransformer)
 from multimodal_alzheimer_tpu.models.fusion_models.anat_pet_fusion import AnatPETFusion
 from multimodal_alzheimer_tpu.models.fusion_models.pet_tabular_fusion import (
     PETTabularFusion,
@@ -25,6 +27,8 @@ __all__ = [
     "RandomBenchmarkAllCN",
     "AnatCNN",
     "PETResNetCNN",
+    "TabPFNClassifier",
+    "TabPFNTransformer",
     "TabularMLP",
     "AnatPETFusion",
     "PETTabularFusion",

@@ -381,8 +381,24 @@ def convert_featuremap_fusion(sd: Dict, hparams: Dict) -> dict:
     return out
 
 
+def convert_tabpfn(sd: Dict, hparams: Dict) -> dict:
+    """tabular_baseline.pth (reference dl_approach.py:44) -> TabPFN params.
+
+    The reference saves ``classifier.model[2].state_dict()`` — the
+    prior-fitted transformer itself — so this is a pure layout mapping
+    (models/tabular_models/tabpfn.py:convert_state_dict), parity-tested
+    against a torch replica in tests/test_tabpfn.py.
+    """
+    del hparams
+    from multimodal_alzheimer_tpu.models.tabular_models.tabpfn import (
+        convert_state_dict)
+
+    return convert_state_dict(sd)
+
+
 CONVERTERS = {
     "pet_cnn": convert_small_pet_cnn,
+    "tabpfn": convert_tabpfn,
     "anat_cnn": convert_anat_cnn,
     "pet_resnet_cnn": convert_anat_cnn,
     "early_fusion": convert_small_pet_cnn,  # PET_MRI_EF shares the recipe
@@ -410,9 +426,14 @@ def _load_ckpt(ckpt_path: str) -> tuple:
     import torch
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()
-          if hasattr(v, "numpy")}
-    return sd, dict(ckpt.get("hyper_parameters", {}))
+    # Lightning .ckpt carries 'state_dict'; the TabPFN artifact
+    # (dl_approach.py:44) carries 'model_state_dict' + its train F1.
+    raw = ckpt.get("state_dict", ckpt.get("model_state_dict", ckpt))
+    sd = {k: v.numpy() for k, v in raw.items() if hasattr(v, "numpy")}
+    hparams = dict(ckpt.get("hyper_parameters", {}))
+    if "tabular_baseline_F1" in ckpt:
+        hparams["tabular_baseline_F1"] = float(ckpt["tabular_baseline_F1"])
+    return sd, hparams
 
 
 # How each fusion arch's extra hparams resolve to checkpoint paths inside
