@@ -328,3 +328,46 @@ class MultiModalDataset:
         counts = self.ds["label"].value_counts().reindex(index=order)
         return (counts.to_numpy(dtype=np.float64),
                 counts_normalized.to_numpy(dtype=np.float64))
+
+
+class TabularEmbeddingDataset:
+    """Attach precomputed per-sample 'tabular_embedding' to a dataset.
+
+    The reference's stage-2/3 fusions run the frozen TabPFN transformer
+    inside EVERY training step to get its decoder activations
+    (tabular_mri_fusion.py:58-76, requires_grad=False at :29). Frozen
+    model + fixed sample => the activation is a constant per row, so the
+    TPU-native pipeline precomputes it once (the same memoization move as
+    the MRI quantile sidecars, data/cache.py) and the loader serves it as
+    the 'tabular_embedding' batch key the fusion tab towers consume
+    exactly (models/tabular_models/tabular_mlp.py pass-through).
+
+    Build embeddings with ``from_tabpfn`` (a fitted
+    ``TabPFNClassifier``, e.g. from a converted tabular_baseline.pth) or
+    pass any (len(dataset), d) array. All other attributes (device
+    preprocess, label distribution, .ds) delegate to the base dataset.
+    """
+
+    def __init__(self, base, embeddings):
+        embeddings = np.asarray(embeddings, np.float32)
+        if len(embeddings) != len(base):
+            raise ValueError(
+                f"{len(embeddings)} embeddings for {len(base)} samples")
+        self.base = base
+        self.embeddings = embeddings
+
+    @classmethod
+    def from_tabpfn(cls, base, classifier) -> "TabularEmbeddingDataset":
+        x = np.stack([base[i]["tabular"] for i in range(len(base))])
+        return cls(base, classifier.embed(x.astype(np.float32)))
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        sample = dict(self.base[index])
+        sample["tabular_embedding"] = self.embeddings[index]
+        return sample
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)

@@ -201,6 +201,45 @@ def test_evaluate_tabpfn_protocol(tmp_path, pair):
     assert len(pngs) == 3  # the three reference CM styles
 
 
+def test_tabular_embedding_dataset_pipeline(tmp_path):
+    """Precomputed TabPFN embeddings ride the loader into the fusion feed."""
+    from multimodal_alzheimer_tpu.data.dataset import (
+        MultiModalDataset, TabularEmbeddingDataset)
+    from multimodal_alzheimer_tpu.data.pipeline import DataLoader
+    from multimodal_alzheimer_tpu.data.synthetic import write_synthetic_split
+    from multimodal_alzheimer_tpu.models.tabular_models.tabular_mlp import (
+        TabularMLP)
+    import jax
+
+    csvs = write_synthetic_split(str(tmp_path / "data"),
+                                 n_subjects=(10, 2, 2), seed=9,
+                                 volume_shape=(6, 7, 6),
+                                 write_volumes=False)
+    base = MultiModalDataset(path=csvs["train"], modalities=["tabular"],
+                             binary_classification=True)
+    clf = TabPFNClassifier(model=_flax_model(), ensemble_size=2)
+    x = np.stack([base[i]["tabular"] for i in range(len(base))])
+    y = np.asarray([int(base[i]["label"]) for i in range(len(base))])
+    clf.fit(x.astype(np.float32), y)
+    ds = TabularEmbeddingDataset.from_tabpfn(base, clf)
+    assert ds.embeddings.shape == (len(base), NHID)
+    # frozen model + fixed row => sidecar equals a fresh recompute
+    np.testing.assert_allclose(ds[0]["tabular_embedding"],
+                               clf.embed(x[:1].astype(np.float32))[0],
+                               rtol=1e-5, atol=1e-6)
+    batch = next(iter(DataLoader(ds, batch_size=4, shuffle=False,
+                                 num_workers=0)))
+    assert batch["tabular_embedding"].shape == (4, NHID)
+    m = TabularMLP(n_classes=2)
+    v = m.init(jax.random.PRNGKey(0), {k: batch[k] for k in
+                                       ("tabular", "tabular_embedding")})
+    out = m.apply(v, batch)
+    # the pass-through consumed the embedding, not the raw features
+    np.testing.assert_allclose(
+        np.asarray(out["embeddings"]["decoder"]),
+        np.asarray(batch["tabular_embedding"]), rtol=1e-6)
+
+
 def test_pfn_mask_values():
     m = np.asarray(pfn_attention_mask(4, 2))
     finite = np.isfinite(m)
