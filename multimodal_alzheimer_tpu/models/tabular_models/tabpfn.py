@@ -239,9 +239,14 @@ class TabPFNClassifier:
                  feature_shifts: Sequence[int] | None = None,
                  softmax_temperature: float = 1.0,
                  model: TabPFNTransformer | None = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.model = model or TabPFNTransformer()
         self.variables = variables
+        # Optional 1-D jax.sharding.Mesh: ensemble parallelism. Members
+        # are independent until the final mean, so the vmapped axis
+        # shards with zero collectives (the vmap_hpo trial-axis pattern);
+        # ensemble_size must divide the device count.
+        self.mesh = mesh
         self.ensemble_size = ensemble_size
         self._class_shifts = class_shifts
         self._feature_shifts = feature_shifts
@@ -296,6 +301,21 @@ class TabPFNClassifier:
     def _run(self, x_test):
         x_test = jnp.asarray(np.asarray(x_test, np.float32))
         x_all = jnp.concatenate([self.x_train, x_test], 0)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self.ensemble_size % self.mesh.devices.size:
+                raise ValueError(
+                    f"ensemble_size={self.ensemble_size} must divide the "
+                    f"{self.mesh.devices.size}-device mesh")
+            member = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh.axis_names[0]))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.variables = jax.device_put(self.variables, rep)
+            x_all = jax.device_put(x_all, rep)
+            self.y_train = jax.device_put(self.y_train, rep)
+            self.class_shifts = jax.device_put(self.class_shifts, member)
+            self.feature_shifts = jax.device_put(self.feature_shifts, member)
         return self._forward(self.variables, x_all, self.y_train,
                              self.x_train.shape[0], x_all.shape[1])
 

@@ -240,6 +240,31 @@ def test_tabular_embedding_dataset_pipeline(tmp_path):
         np.asarray(batch["tabular_embedding"]), rtol=1e-6)
 
 
+def test_mesh_sharded_ensemble_matches_single_device():
+    """Ensemble axis sharded over the 8-dev mesh == unsharded result."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("ens",))
+    rng = np.random.default_rng(11)
+    x_tr = rng.normal(size=(18, 5)).astype(np.float32)
+    y_tr = rng.integers(0, 2, size=18)
+    x_te = rng.normal(size=(4, 5)).astype(np.float32)
+    kw = dict(ensemble_size=8, seed=13)
+    ref = TabPFNClassifier(model=_flax_model(), **kw).fit(x_tr, y_tr)
+    sharded = TabPFNClassifier(model=_flax_model(), mesh=mesh,
+                               **kw).fit(x_tr, y_tr)
+    np.testing.assert_allclose(sharded.predict_proba(x_te),
+                               ref.predict_proba(x_te), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(sharded.embed(x_te), ref.embed(x_te),
+                               rtol=1e-4, atol=1e-5)
+    bad = TabPFNClassifier(model=_flax_model(), mesh=mesh,
+                           ensemble_size=3).fit(x_tr, y_tr)
+    with pytest.raises(ValueError, match="must divide"):
+        bad.predict_proba(x_te)
+
+
 def test_pfn_mask_values():
     m = np.asarray(pfn_attention_mask(4, 2))
     finite = np.isfinite(m)
