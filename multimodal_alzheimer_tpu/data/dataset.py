@@ -370,4 +370,6 @@ class TabularEmbeddingDataset:
         return sample
 
     def __getattr__(self, name):
+        if name == "base":  # pre-__init__ access (e.g. unpickling)
+            raise AttributeError(name)
         return getattr(self.base, name)
